@@ -1,0 +1,53 @@
+"""Engine configuration.
+
+Analogue of the reference's TOML → pydantic settings layer
+(/root/reference/src/common/utils.py:11-39, /root/reference/config/config.toml)
+— a single validated, static schema. We use a frozen dataclass (stdlib-only)
+with the same spirit: every tunable in one place, validated at construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # ---- embedding (ref: config.toml:7 embed_dim=3072, cosine) ------------
+    embed_dim: int = 64            # deterministic hashed embedder dim (bench: 256)
+    embed_seed: int = 42
+
+    # ---- linking (ref: config.toml:13-15 top_k=30, alpha=0.75) ------------
+    link_top_k: int = 3
+    link_tau: float = 0.60         # min cosine for an embedding-based link
+    # exact alias match always wins (the "sparse" side of the reference's
+    # hybrid dense+sparse retrieval, collapsed to a deterministic fast path)
+
+    # ---- canonicalization / LSH blocking ----------------------------------
+    canon_tau: float = 0.85        # min cosine to propose a canon-merge pair
+    lsh_bands: int = 8
+    lsh_rows: int = 4              # bits per band; bands*rows hyperplanes
+    salt_threshold: int = 512      # block sizes above this get salted
+    salt_factor: int = 8
+    max_pairs_per_block: int = 20_000
+    canon_max_rounds: int = 16     # label-propagation fixpoint bound
+
+    # ---- execution sizing --------------------------------------------------
+    batch_size: int = 1024         # rows per batch for actor-pool stages
+    detect_concurrency: int = 4    # actor-pool size for mention/triple stages
+    link_concurrency: int = 2
+    target_partitions: int = 64    # output partition count hint
+
+    # ---- lineage / resume --------------------------------------------------
+    manifest_name: str = "_manifest"
+
+    def __post_init__(self) -> None:
+        if self.embed_dim <= 0 or self.embed_dim > 10_000:
+            raise ValueError("embed_dim must be in (0, 10000]")
+        if not (0.0 < self.link_tau <= 1.0 and 0.0 < self.canon_tau <= 1.0):
+            raise ValueError("tau thresholds must be in (0, 1]")
+        if self.lsh_bands * self.lsh_rows > 256:
+            raise ValueError("lsh_bands*lsh_rows (hyperplane count) must be <= 256")
+
+
+DEFAULT_CONFIG = EngineConfig()
