@@ -31,6 +31,7 @@ class EngineConfig:
     salt_factor: int = 8
     max_pairs_per_block: int = 20_000
     canon_max_rounds: int = 16     # label-propagation fixpoint bound
+    provenance_cap: int = 8        # provenance samples kept per edge
 
     # ---- execution sizing --------------------------------------------------
     batch_size: int = 1024         # rows per batch for actor-pool stages

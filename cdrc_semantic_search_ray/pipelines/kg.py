@@ -1,0 +1,336 @@
+"""The flagship KG-construction pipeline (SURVEY.md §2.5, P1→P11).
+
+    read transcripts (P1)            ray.data.read_parquet, column-pruned
+      → reassemble conversations (P3)  groupby(conv_id) + per-group sort
+      → mention detection (P4)         actor pool (gazetteer automaton)
+      → triple extraction (P5)         actor pool (SVO rules + coref carry)
+      → distinct mention norms         partial-agg + groupby (pre-aggregated)
+      → entity linking (P7)            actor pool w/ replicated catalogue index
+      → LSH blocking + pairs (P8/P9)   banded SRP keys, salted, capped blocks
+      → canonicalization (P10)         distributed min-label propagation
+      → resolve + edge/node agg (P11)  broadcast maps + groupby aggregation
+
+Broadcast-vs-shuffle decisions (documented per SURVEY.md §7.3): the link map
+(distinct mention norms → entity) and canon map (catalogue-sized) are SMALL
+sides — they ship to resolver actors once via ``ray.put``, so triple
+resolution needs no shuffle. If distinct norms outgrew worker memory the
+resolve step would switch to the bucketed hash join in
+``pipelines/relational.py`` (same semantics, one extra shuffle).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..stages.annotate import MentionDetector, TripleExtractor
+from ..stages.blocking import candidate_pairs
+from ..stages.linker import Linker
+from ..stages.reassemble import reassemble
+from .components import connected_components
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(corpus_dir: str | Path, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(str(Path(corpus_dir) / "transcripts"),
+                           columns=columns or TRANSCRIPT_COLS)
+
+
+def build_conversations(corpus_dir: str | Path, columns=None):
+    return reassemble(read_transcripts(corpus_dir, columns))
+
+
+def extract_mentions(conversations, lexicon_path: str,
+                     cfg: EngineConfig = DEFAULT_CONFIG):
+    return conversations.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"lexicon": lexicon_path},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.detect_concurrency),
+    )
+
+
+def extract_triples(conversations, lexicon_path: str,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    return conversations.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"lexicon": lexicon_path},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.detect_concurrency),
+    )
+
+
+def distinct_norms(triples_raw):
+    """Distinct mention norms with frequencies, pre-aggregated per batch
+    before the (small) final groupby — the combiner pattern (SURVEY.md §4.2)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pa.concat_arrays([
+            batch["subj_norm"].combine_chunks(),
+            batch["obj_norm"].combine_chunks(),
+        ])
+        counts = pa.table({"norm": vals}).group_by("norm").aggregate(
+            [("norm", "count")])
+        return pa.table({
+            "norm": counts["norm"],
+            "freq": counts["norm_count"].cast(pa.int64()),
+        })
+
+    partials = triples_raw.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "norm": group["norm"].slice(0, 1).combine_chunks(),
+            "freq": pa.array([pc.sum(group["freq"]).as_py()], type=pa.int64()),
+        })
+
+    return partials.groupby("norm").map_groups(merge, batch_format="pyarrow")
+
+
+def link_norms(norms, catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG,
+               top_k: int = 1):
+    return norms.map_batches(
+        Linker,
+        fn_constructor_kwargs={"catalogue": catalogue_path, "top_k": top_k,
+                               "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.link_concurrency),
+    )
+
+
+def canonicalize(catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG):
+    """catalogue → canon_map Dataset (entity_key, canonical_id).
+
+    LSH blocking over entity embeddings → per-block exact cosine pairs →
+    distributed connected components; entities in no component map to
+    themselves.
+    """
+    import ray.data as rd
+
+    cat = rd.read_parquet(catalogue_path, columns=["entity_id", "vec"])
+    with_vecs = cat.map_batches(
+        lambda t: pa.table({"node_id": t["entity_id"].combine_chunks(),
+                            "vec": t["vec"].combine_chunks()}),
+        batch_format="pyarrow")
+    pairs = candidate_pairs(with_vecs, cfg)
+    labels = connected_components(pairs, max_rounds=cfg.canon_max_rounds)
+
+    label_map: dict[str, str] = {}
+    for batch in labels.iter_batches(batch_format="pyarrow"):
+        label_map.update(zip(batch["node"].to_pylist(),
+                             batch["label"].to_pylist()))
+
+    def full_map(batch: pa.Table) -> pa.Table:
+        ids = batch["entity_id"].to_pylist()
+        return pa.table({
+            "entity_key": pa.array(ids, type=pa.string()),
+            "canonical_id": pa.array([label_map.get(e, e) for e in ids],
+                                     type=pa.string()),
+        })
+
+    return cat.map_batches(full_map, batch_format="pyarrow")
+
+
+class Resolver:
+    """norm-level triples → canonical entity-level triples.
+
+    Holds the broadcast link + canon maps (``ray.put`` once on the driver,
+    ``ray.get`` once per actor) — the reference's metadata-lookup shape
+    (/root/reference/src/datastore.py:19-42) done as a hashed broadcast
+    lookup instead of a linear scan per record (SURVEY.md M5).
+    """
+
+    def __init__(self, links_ref, canon_ref):
+        import ray
+
+        self.links: dict[str, str] = ray.get(links_ref) if not isinstance(links_ref, dict) else links_ref
+        self.canon: dict[str, str] = ray.get(canon_ref) if not isinstance(canon_ref, dict) else canon_ref
+
+    def _resolve(self, norm: str) -> str:
+        e = self.links.get(norm, f"unk:{norm}")
+        return self.canon.get(e, e)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj = [self._resolve(n) for n in batch["subj_norm"].to_pylist()]
+        obj = [self._resolve(n) for n in batch["obj_norm"].to_pylist()]
+        return pa.table({
+            "conv_id": batch["conv_id"].combine_chunks(),
+            "turn_idx": batch["turn_idx"].combine_chunks(),
+            "subj": pa.array(subj, type=pa.string()),
+            "pred": batch["pred"].combine_chunks(),
+            "obj": pa.array(obj, type=pa.string()),
+        })
+
+
+def resolve_triples(triples_raw, links, canon_map,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """Join triples to the (small) link + canon maps via broadcast."""
+    import ray
+
+    link_map: dict[str, str] = {}
+    for batch in links.iter_batches(batch_format="pyarrow"):
+        link_map.update(zip(batch["norm"].to_pylist(),
+                            batch["entity_id"].to_pylist()))
+    canon: dict[str, str] = {}
+    for batch in canon_map.iter_batches(batch_format="pyarrow"):
+        canon.update(zip(batch["entity_key"].to_pylist(),
+                         batch["canonical_id"].to_pylist()))
+
+    return triples_raw.map_batches(
+        Resolver,
+        fn_constructor_kwargs={"links_ref": ray.put(link_map),
+                               "canon_ref": ray.put(canon)},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.link_concurrency),
+    )
+
+
+EDGE_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("weight", pa.int64()),
+    ("provenance", pa.list_(pa.struct([("conv_id", pa.string()),
+                                       ("turn_idx", pa.int32())]))),
+])
+
+
+def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
+    """(subj, pred, obj) → weight + capped provenance sample.
+
+    Count aggregation is associative → partial per-batch pre-agg, then the
+    final groupby runs over far fewer rows (SURVEY.md §7.3, edge aggregation).
+    """
+    cap = cfg.provenance_cap
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["subj", "pred", "obj"]).aggregate(
+            [("conv_id", "list"), ("turn_idx", "list")])
+        convs = agg["conv_id_list"].to_pylist()
+        turns = agg["turn_idx_list"].to_pylist()
+        prov = [
+            [{"conv_id": c, "turn_idx": t}
+             for c, t in sorted(zip(cs, ts))[:cap]]
+            for cs, ts in zip(convs, turns)
+        ]
+        return pa.table({
+            "subj": agg["subj"],
+            "pred": agg["pred"],
+            "obj": agg["obj"],
+            "weight": pa.array([len(c) for c in convs], type=pa.int64()),
+            "provenance": pa.array(prov, type=EDGE_SCHEMA.field("provenance").type),
+        })
+
+    partials = triples.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        weight = int(pc.sum(group["weight"]).as_py())
+        prov: list[dict] = []
+        for chunk in group["provenance"].to_pylist():
+            prov.extend(chunk)
+        prov = sorted(prov, key=lambda p: (p["conv_id"], p["turn_idx"]))[:cap]
+        return pa.table({
+            "subj": group["subj"].slice(0, 1).combine_chunks(),
+            "pred": group["pred"].slice(0, 1).combine_chunks(),
+            "obj": group["obj"].slice(0, 1).combine_chunks(),
+            "weight": pa.array([weight], type=pa.int64()),
+            "provenance": pa.array([prov],
+                                   type=EDGE_SCHEMA.field("provenance").type),
+        }, schema=EDGE_SCHEMA)
+
+    return partials.groupby(["subj", "pred", "obj"]).map_groups(
+        merge, batch_format="pyarrow")
+
+
+def aggregate_nodes(edges, catalogue_path: str,
+                    cfg: EngineConfig = DEFAULT_CONFIG):
+    """edges → node table with degree/weight + catalogue name/kind lookup."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([batch["subj"].combine_chunks(),
+                                  batch["obj"].combine_chunks()])
+        w = batch["weight"].combine_chunks()
+        weights = pa.concat_arrays([w, w])
+        agg = pa.table({"node_id": nodes, "w": weights}).group_by(
+            "node_id").aggregate([("w", "sum"), ("w", "count")])
+        return pa.table({
+            "node_id": agg["node_id"],
+            "weight": agg["w_sum"].cast(pa.int64()),
+            "degree": agg["w_count"].cast(pa.int64()),
+        })
+
+    partials = edges.map_batches(endpoints, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": group["node_id"].slice(0, 1).combine_chunks(),
+            "weight": pa.array([pc.sum(group["weight"]).as_py()], type=pa.int64()),
+            "degree": pa.array([pc.sum(group["degree"]).as_py()], type=pa.int64()),
+        })
+
+    nodes = partials.groupby("node_id").map_groups(merge, batch_format="pyarrow")
+
+    import pyarrow.parquet as pq
+
+    cat = pq.read_table(catalogue_path, columns=["entity_id", "name", "kind"])
+    names = dict(zip(cat["entity_id"].to_pylist(), cat["name"].to_pylist()))
+    kinds = dict(zip(cat["entity_id"].to_pylist(), cat["kind"].to_pylist()))
+
+    def decorate(batch: pa.Table) -> pa.Table:
+        ids = batch["node_id"].to_pylist()
+        return pa.table({
+            "node_id": batch["node_id"].combine_chunks(),
+            "name": pa.array([names.get(i, i) for i in ids], type=pa.string()),
+            "kind": pa.array([kinds.get(i, "unknown") for i in ids],
+                             type=pa.string()),
+            "degree": batch["degree"].combine_chunks(),
+            "weight": batch["weight"].combine_chunks(),
+        })
+
+    return nodes.map_batches(decorate, batch_format="pyarrow")
+
+
+def run_kg(corpus_dir: str | Path, cfg: EngineConfig = DEFAULT_CONFIG,
+           out_dir: str | Path | None = None) -> dict:
+    """Build every KG artifact as (lazy) Datasets; optionally write them.
+
+    Returns {"conversations", "mentions", "triples_raw", "links",
+    "canon_map", "triples", "edges", "nodes"} — all ray.data.Datasets.
+    """
+    corpus = Path(corpus_dir)
+    lexicon = str(corpus / "lexicon.parquet")
+    catalogue = str(corpus / "catalogue.parquet")
+
+    conversations = build_conversations(corpus)
+    mentions = extract_mentions(conversations, lexicon, cfg)
+    # triples_raw fans out to BOTH the norm/link branch and the resolve
+    # branch — materialize once so extraction doesn't re-execute per consumer
+    # (the checkpointed variant in state/checkpoint.py writes it to parquet
+    # instead, which also makes it a resume point).
+    triples_raw = extract_triples(conversations, lexicon, cfg).materialize()
+    norms = distinct_norms(triples_raw)
+    links = link_norms(norms, catalogue, cfg, top_k=1)
+    canon_map = canonicalize(catalogue, cfg)
+    triples = resolve_triples(triples_raw, links, canon_map, cfg).materialize()
+    edges = aggregate_edges(triples, cfg).materialize()
+    nodes = aggregate_nodes(edges, catalogue, cfg)
+
+    arts = {"conversations": conversations, "mentions": mentions,
+            "triples_raw": triples_raw, "links": links,
+            "canon_map": canon_map, "triples": triples,
+            "edges": edges, "nodes": nodes}
+    if out_dir is not None:
+        out = Path(out_dir)
+        for name in ("mentions", "triples", "edges", "nodes", "canon_map", "links"):
+            arts[name].write_parquet(str(out / name))
+    return arts

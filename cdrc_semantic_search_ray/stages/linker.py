@@ -1,0 +1,113 @@
+"""Entity linker: replicated catalogue index inside an actor pool.
+
+Ray Data mapping of the reference's index build + top-k ANN retrieval
+(/root/reference/src/model.py:63-79 — ``VectorStoreIndex.from_vector_store``
++ ``as_retriever(similarity_top_k, alpha).retrieve``, SURVEY.md R1/R2/P7):
+
+- R1 (index build) happens ONCE per actor in ``__init__``: the catalogue
+  Parquet (the small side) is loaded into an exact-alias hash map (the
+  reference's "sparse" retrieval half) and a row-normalized numpy matrix
+  (the "dense" half).
+- R2 (retrieval) is a vectorized matmul top-k per batch of mention norms.
+
+Broadcast-small-side pattern: every actor holds a full replica (catalogue ≪
+data), so linking needs NO shuffle. The catalogue can be passed as a parquet
+path (each actor reads it — scales to many nodes via shared storage) or as a
+``ray.put`` ObjectRef.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions.embed import cosine_topk, embed_texts
+
+LINK_SCHEMA = pa.schema([
+    ("norm", pa.string()),
+    ("entity_id", pa.string()),
+    ("score", pa.float32()),
+    ("rank", pa.int32()),
+    ("method", pa.string()),  # "exact" | "embed" | "none"
+])
+
+
+def load_catalogue_index(catalogue) -> tuple[dict[str, str], list[str], np.ndarray]:
+    """→ (exact norm→entity map, entity_ids, row-normalized (N, D) matrix)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.extract_core import normalize_surface
+
+    if isinstance(catalogue, str):
+        table = pq.read_table(catalogue)
+    elif isinstance(catalogue, pa.Table):
+        table = catalogue
+    else:  # ObjectRef
+        import ray
+
+        return load_catalogue_index(ray.get(catalogue))
+
+    ids = table["entity_id"].to_pylist()
+    exact: dict[str, str] = {}
+    for eid, name, aliases in zip(ids, table["name"].to_pylist(),
+                                  table["aliases"].to_pylist()):
+        exact[normalize_surface(name)] = eid
+        for a in aliases or []:
+            exact[normalize_surface(a)] = eid
+    vec = table["vec"].combine_chunks()
+    mat = np.array(vec.flatten().to_numpy().reshape(len(ids), -1),
+                   dtype=np.float32)  # copy: normalize in place below
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.divide(mat, norms, out=mat, where=norms > 0)
+    return exact, ids, mat
+
+
+class Linker:
+    """Batch linker over a ``norm`` column → LINK_SCHEMA rows (top-k)."""
+
+    def __init__(self, catalogue, top_k: int = 1,
+                 cfg: EngineConfig = DEFAULT_CONFIG):
+        self.exact, self.ids, self.mat = load_catalogue_index(catalogue)
+        self.top_k = top_k
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norms = batch["norm"].to_pylist()
+        out: dict[str, list] = {n: [] for n in LINK_SCHEMA.names}
+
+        pending: list[str] = []
+        for n in norms:
+            eid = self.exact.get(n)
+            if eid is not None:
+                out["norm"].append(n)
+                out["entity_id"].append(eid)
+                out["score"].append(1.0)
+                out["rank"].append(0)
+                out["method"].append("exact")
+            else:
+                pending.append(n)
+
+        if pending:
+            q = embed_texts(pending, dim=self.cfg.embed_dim,
+                            seed=self.cfg.embed_seed)
+            idx, score = cosine_topk(q, self.mat, self.top_k)
+            for i, n in enumerate(pending):
+                linked = False
+                for r in range(idx.shape[1]):
+                    s = float(score[i, r])
+                    if s < self.cfg.link_tau:
+                        break
+                    out["norm"].append(n)
+                    out["entity_id"].append(self.ids[int(idx[i, r])])
+                    out["score"].append(s)
+                    out["rank"].append(r)
+                    out["method"].append("embed")
+                    linked = True
+                if not linked:
+                    out["norm"].append(n)
+                    out["entity_id"].append(f"unk:{n}")
+                    out["score"].append(0.0)
+                    out["rank"].append(0)
+                    out["method"].append("none")
+        return pa.table(out, schema=LINK_SCHEMA)

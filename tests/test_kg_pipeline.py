@@ -1,0 +1,105 @@
+"""Distributed-pipeline conformance vs the sequential golden oracle
+(BASELINE.json: triple P/R >= 0.95; per-turn text byte-equality)."""
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _triple_set(ds):
+    out = set()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        out.update(zip(b["conv_id"].to_pylist(), b["turn_idx"].to_pylist(),
+                       b["subj"].to_pylist(), b["pred"].to_pylist(),
+                       b["obj"].to_pylist()))
+    return out
+
+
+def test_triples_pr_vs_golden(kg_artifacts, golden_result):
+    pset = _triple_set(kg_artifacts["triples"])
+    gset = golden_result["triples"]
+    tp = len(pset & gset)
+    precision = tp / max(1, len(pset))
+    recall = tp / max(1, len(gset))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # both deterministic → expect exact agreement
+    assert pset == gset
+
+
+def test_text_equality_invariant(kg_artifacts, unit_corpus):
+    """Per-turn text must survive normalize+reassembly byte-exact under
+    stable (conv_id, turn_idx) ordering (BASELINE.json:15)."""
+    from cdrc_semantic_search_ray.stages.reassemble import explode
+
+    flat = explode(kg_artifacts["conversations"])
+    got = {}
+    for b in flat.iter_batches(batch_format="pyarrow"):
+        for c, t, x in zip(b["conv_id"].to_pylist(), b["turn_idx"].to_pylist(),
+                           b["text"].to_pylist()):
+            got[(c, t)] = x
+    src = pq.read_table(unit_corpus / "transcripts",
+                        columns=["conv_id", "turn_idx", "text"])
+    want = {
+        (c, t): x
+        for c, t, x in zip(src["conv_id"].to_pylist(),
+                           src["turn_idx"].to_pylist(),
+                           src["text"].to_pylist())
+    }
+    assert got == want  # byte-exact, every turn present exactly once
+
+
+def test_reassembly_sorted_and_complete(kg_artifacts):
+    for b in kg_artifacts["conversations"].iter_batches(batch_format="pyarrow"):
+        for n, turns in zip(b["n_turns"].to_pylist(), b["turns"].to_pylist()):
+            idxs = [t["turn_idx"] for t in turns]
+            assert idxs == sorted(idxs) == list(range(n))
+
+
+def test_canon_map_matches_truth(kg_artifacts, unit_corpus):
+    """LSH blocking + distributed label propagation must find exactly the
+    injected near-duplicate groups (margin asserted at generation time)."""
+    got = {}
+    for b in kg_artifacts["canon_map"].iter_batches(batch_format="pyarrow"):
+        got.update(zip(b["entity_key"].to_pylist(),
+                       b["canonical_id"].to_pylist()))
+    ct = pq.read_table(unit_corpus / "canon_truth.parquet")
+    truth = dict(zip(ct["entity_id"].to_pylist(), ct["canonical_id"].to_pylist()))
+    assert got == truth
+
+
+def test_links_resolve_typos_via_embedding(kg_artifacts):
+    """Typo'd surfaces (absent from the exact alias map) must link through
+    the embedding-cosine path — the reference's dense-retrieval half."""
+    methods = set()
+    for b in kg_artifacts["links"].iter_batches(batch_format="pyarrow"):
+        methods.update(b["method"].to_pylist())
+    assert "exact" in methods and "embed" in methods
+
+
+def test_edges_weights_consistent(kg_artifacts):
+    triples = kg_artifacts["triples"]
+    edges = kg_artifacts["edges"]
+    n_triples = triples.count()
+    total_weight = 0
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        total_weight += int(pc.sum(b["weight"]).as_py())
+        for w, prov in zip(b["weight"].to_pylist(), b["provenance"].to_pylist()):
+            assert 1 <= len(prov) <= min(w, 8)
+    assert total_weight == n_triples
+
+
+def test_partition_count_invariance(ray_session, tmp_path):
+    """Same corpus written as 1 file vs 16 files → identical triple sets
+    (FIXTURES.md partitioning probe)."""
+    import pyarrow.parquet as pq_
+
+    from cdrc_semantic_search_ray.fixtures import generate_corpus
+    from cdrc_semantic_search_ray.pipelines.kg import run_kg
+
+    a = generate_corpus(tmp_path / "a", n_convs=12, seed=11, n_files=1)
+    b = generate_corpus(tmp_path / "b", n_convs=12, seed=11, n_files=16)
+    ta = pq_.read_table(a / "transcripts").num_rows
+    tb = pq_.read_table(b / "transcripts").num_rows
+    assert ta == tb
+    sa = _triple_set(run_kg(a)["triples"])
+    sb = _triple_set(run_kg(b)["triples"])
+    assert sa == sb and sa
