@@ -1,0 +1,325 @@
+"""Deduplication pipelines over a ``documents``-shaped table.
+
+The reference's only dedup is Python-set exact dedup of ids
+(/root/reference/src/query_api.py:51-52, SURVEY.md R7); near-dup exists only
+implicitly via ANN similarity. These pipelines make both first-class at
+training-data-pipeline scale:
+
+- exact (content-hash partition + per-group first)
+- MinHash + LSH (shingle → minhash → band → bucket groupby → verify)
+- SimHash (64-bit, pigeonhole chunk blocking, hamming verify)
+- word-n-gram Jaccard (cheapest-hash blocking + verify)
+- embedding-cosine near-dup (exact blocked matmul; LSH variant reuses
+  stages/blocking.py)
+
+Every variant follows the same scale shape: a cheap vectorized
+per-batch sketch (map_batches), ONE groupby shuffle on a blocking key whose
+cardinality we control, bounded per-block pairwise verification, then a
+pair-dedup groupby. No stage holds the corpus in memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import hashing as H
+
+PAIR_FIELDS = [("doc_id_a", pa.int64()), ("doc_id_b", pa.int64())]
+
+
+def _pair_table(rows: dict[str, list], extra: list[tuple[str, object]]) -> pa.Table:
+    schema = pa.schema(PAIR_FIELDS + extra)
+    return pa.table(rows, schema=schema)
+
+
+def _dedup_pairs(pairs):
+    """Collapse duplicate (a, b) rows produced by multiple blocks."""
+    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(docs):
+    """One survivor (min doc_id) per distinct text + copy count.
+
+    Hash-partition on a content digest (never on the raw text — keys stay
+    small on the wire), per-group min/count. Returns (doc_id, n_copies).
+    """
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hs = [H.md5_fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "doc_id": batch["doc_id"].combine_chunks(),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["h"]).aggregate([("doc_id", "min"),
+                                             ("doc_id", "count")])
+        return pa.table({"h": g["h"], "doc_id": g["doc_id_min"],
+                         "n_copies": g["doc_id_count"].cast(pa.int64())})
+
+    partials = docs.map_batches(digest, batch_format="pyarrow").map_batches(
+        partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array([pc.min(group["doc_id"]).as_py()], pa.int64()),
+            "n_copies": pa.array([pc.sum(group["n_copies"]).as_py()], pa.int64()),
+        })
+
+    return partials.groupby("h").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+class MinHashSketcher:
+    """Actor: minhash permutation params built once, signatures per batch."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16,
+                 shingle_k: int = 5, seed: int = 42):
+        self.a, self.b = H.minhash_params(num_perm, seed)
+        self.bands = bands
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, keys, sigs = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            sig = H.minhash_signature(H.char_shingles(text, self.k),
+                                      self.a, self.b)
+            for key in H.band_keys(sig, self.bands):
+                ids.append(doc_id)
+                keys.append(key)
+                sigs.append(sig.tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "block_key": pa.array(keys, type=pa.string()),
+            "sig": pa.array(sigs, type=pa.binary()),
+        })
+
+
+def minhash_lsh_dedup(docs, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 5, tau: float = 0.5,
+                      max_block: int = 256):
+    """Candidate pairs by banded MinHash, verified by SIGNATURE Jaccard
+    estimate (fraction of agreeing minhashes) >= tau.
+
+    Returns (doc_id_a, doc_id_b, est_jaccard). Signature-based verification
+    keeps the verify stage shuffle-free (signatures ride along with the
+    block rows); an exact-text verify would broadcast or re-join texts.
+    """
+    blocks = docs.map_batches(
+        MinHashSketcher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx.slice(0, max_block))
+        ids = g["doc_id"].to_pylist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_pylist()]
+        out = {"doc_id_a": [], "doc_id_b": [], "est_jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float((sigs[i] == sigs[j]).mean())
+                if est >= tau:
+                    a, b = sorted((ids[i], ids[j]))
+                    out["doc_id_a"].append(a)
+                    out["doc_id_b"].append(b)
+                    out["est_jaccard"].append(round(est, 6))
+        return _pair_table(out, [("est_jaccard", pa.float64())])
+
+    cand = blocks.groupby("block_key").map_groups(pairs, batch_format="pyarrow")
+    return _dedup_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_dedup(docs, max_hamming: int = 6, chunks: int = 4,
+                  max_block: int = 256):
+    """64-bit SimHash near-dup: pigeonhole chunk blocking + hamming verify.
+
+    NOTE: with ``chunks`` pieces, blocking only GUARANTEES recall for
+    distance < chunks; larger distances are found opportunistically.
+    Returns (doc_id_a, doc_id_b, hamming).
+    """
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, keys, hashes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            h = H.simhash64(text.casefold().split())
+            for key in H.simhash_chunk_keys(h, chunks):
+                ids.append(doc_id)
+                keys.append(key)
+                hashes.append(h)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "block_key": pa.array(keys, type=pa.string()),
+            "h": pa.array(hashes, type=pa.uint64()),
+        })
+
+    blocks = docs.map_batches(sketch, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx.slice(0, max_block))
+        ids = g["doc_id"].to_pylist()
+        hs = g["h"].to_pylist()
+        out = {"doc_id_a": [], "doc_id_b": [], "hamming": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                d = H.hamming64(hs[i], hs[j])
+                if d <= max_hamming:
+                    a, b = sorted((ids[i], ids[j]))
+                    out["doc_id_a"].append(a)
+                    out["doc_id_b"].append(b)
+                    out["hamming"].append(d)
+        return _pair_table(out, [("hamming", pa.int64())])
+
+    cand = blocks.groupby("block_key").map_groups(pairs, batch_format="pyarrow")
+    return _dedup_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram Jaccard
+# ---------------------------------------------------------------------------
+def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
+                        num_blocks: int = 2, max_block: int = 256):
+    """Exact n-gram Jaccard verification after cheapest-hash blocking.
+
+    Block key(s) = the ``num_blocks`` smallest n-gram hashes of each doc
+    (prefix blocking): two docs with Jaccard >= tau share their minimum
+    n-gram hash with high probability. The n-gram SET rides along serialized
+    so verification is exact and shuffle-free.
+    Returns (doc_id_a, doc_id_b, jaccard).
+    """
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, keys, sets_ = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            grams = H.word_ngrams(text, n)
+            arr = np.fromiter(grams, dtype=np.int64, count=len(grams))
+            arr.sort()
+            for key in arr[:num_blocks]:
+                ids.append(doc_id)
+                keys.append(str(key))
+                sets_.append(arr.tobytes())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "block_key": pa.array(keys, type=pa.string()),
+            "grams": pa.array(sets_, type=pa.binary()),
+        })
+
+    blocks = docs.map_batches(sketch, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx.slice(0, max_block))
+        ids = g["doc_id"].to_pylist()
+        gsets = [set(np.frombuffer(b, dtype=np.int64).tolist())
+                 for b in g["grams"].to_pylist()]
+        out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                jac = H.jaccard(gsets[i], gsets[j])
+                if jac >= tau:
+                    a, b = sorted((ids[i], ids[j]))
+                    out["doc_id_a"].append(a)
+                    out["doc_id_b"].append(b)
+                    out["jaccard"].append(round(jac, 6))
+        return _pair_table(out, [("jaccard", pa.float64())])
+
+    cand = blocks.groupby("block_key").map_groups(pairs, batch_format="pyarrow")
+    return _dedup_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_neardup_exact(embeddings, tau: float = 0.40):
+    """EXACT cosine near-dup pairs over an embedding column.
+
+    Each batch computes batch×ALL similarities against a broadcast
+    row-normalized matrix (float64 matmul — matches the DuckDB oracle) and
+    emits i<j pairs above tau. O(N·B) memory per task; the sub-quadratic
+    scale path is :func:`embedding_neardup_lsh`.
+    Returns (vec_id_a, vec_id_b) — ids only, so the correctness hash does not
+    depend on float formatting.
+    """
+    import ray
+
+    full = embeddings.to_pandas()
+    ids_all = full["vec_id"].to_numpy()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, big = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_numpy())
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = q @ big.T
+        ii, jj = np.where(sims >= tau)
+        out_a, out_b = [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a, b = int(ids[i]), int(ids_a[j])
+            if a < b:  # i<j canonical; also drops self-pairs
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"vec_id_a": pa.array(out_a, type=pa.int64()),
+                         "vec_id_b": pa.array(out_b, type=pa.int64())})
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(embeddings, tau: float = 0.40):
+    """Sub-quadratic variant: SRP-banded LSH blocking (stages/blocking.py)
+    then exact per-block cosine — the 100 TB path (approximate recall)."""
+    from ..config import EngineConfig
+    from ..stages.blocking import candidate_pairs
+
+    dim = len(embeddings.take(1)[0]["embedding"])
+    cfg = EngineConfig(embed_dim=dim, canon_tau=tau, lsh_bands=16, lsh_rows=4)
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        q = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in batch["embedding"].to_pylist()])
+        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "node_id": pa.array([f"{v:08d}" for v in batch["vec_id"].to_pylist()],
+                                type=pa.string()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1), type=pa.float32()), q.shape[1]),
+        })
+
+    nodes = embeddings.map_batches(to_nodes, batch_format="pyarrow")
+    pairs = candidate_pairs(nodes, cfg)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id_a": pa.array([int(x) for x in batch["a"].to_pylist()],
+                                 type=pa.int64()),
+            "vec_id_b": pa.array([int(x) for x in batch["b"].to_pylist()],
+                                 type=pa.int64()),
+            "score": batch["score"].combine_chunks(),
+        })
+
+    return pairs.map_batches(decode, batch_format="pyarrow")

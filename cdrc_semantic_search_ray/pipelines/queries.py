@@ -1,0 +1,728 @@
+"""Query registry: every operator from SURVEY.md §2 as a named pipeline over
+the driver's testdata tables, plus the matching DuckDB oracle SQL.
+
+Consumed by ``/root/repo/__ray_entry__.py``: ``QUERIES[name](sf_dir)`` must
+return a Dataset/DataFrame/Table whose row set, schema and column NAMES match
+``ORACLE_SQL[name]`` run by DuckDB on the same parquet (order-insensitive
+value hash). Queries without an oracle entry are non-SQL-expressible
+(KG stages over synthetic transcripts, LSH/minhash approximations, stubs) and
+get the driver's rows-only check; their correctness is covered by pytest
+instead (tests/).
+
+Float discipline (hash parity with DuckDB):
+- ratios/averages that are a SINGLE int/int division are emitted unrounded
+  (bit-identical across engines);
+- multi-term double sums/averages are emitted FIXED-POINT (``_fx``: cents /
+  e-notation int64) on both sides — the nearest-double of a rounded decimal
+  can differ in the last ulp between engines, integers cannot;
+- near-dup thresholds are chosen away from any observed pair similarity.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import DEFAULT_CONFIG
+from . import dedup as D
+from . import multimodal as MM
+from . import relational as R
+from . import similarity as S
+from . import text as T
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _r(arr, digits: int):
+    """round matching DuckDB's ROUND (half away from zero, not half-even)."""
+    return pc.round(arr, ndigits=digits, round_mode="half_towards_infinity")
+
+
+def _fx(arr, k: int):
+    """Fixed-point: round(arr * 10^k) as int64.
+
+    Float aggregates are emitted as integers (cents / e-notation) because the
+    nearest-double of a rounded decimal can differ in the last ulp between
+    engines — integer outputs make the driver's value hash engine-proof."""
+    return _r(pc.multiply(arr, float(10 ** k)), 0).cast(pa.int64())
+
+
+def _round_col(batch: pa.Table, col: str, digits: int) -> pa.Table:
+    i = batch.schema.get_field_index(col)
+    return batch.set_column(i, col, _r(batch[col], digits))
+
+
+def _rounded(ds, spec: dict[str, int]):
+    def f(batch: pa.Table) -> pa.Table:
+        for col, d in spec.items():
+            batch = _round_col(batch, col, d)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _small(sf_dir: str, table: str, columns=None) -> pa.Table:
+    """Driver-side read of a SMALL dimension table (broadcast side)."""
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational queries (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped aggregate: filter → computed column → combiner groupby
+    (SURVEY.md R3/R4 + M7)."""
+    ds = R.read_table(sf_dir, "lineitem",
+                      columns=["l_returnflag", "l_linestatus", "l_quantity",
+                               "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"],
+                          pa.scalar(np.datetime64("1998-09-01", "us"))))
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    agg = R.partial_groupby(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("l_extendedprice", "sum", "sum_base_price"),
+         ("disc_price", "sum", "sum_disc_price"),
+         ("l_discount", "sum", "_sum_disc"),
+         ("l_quantity", "count", "count_order")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].cast(pa.float64())
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"].combine_chunks(),
+            "l_linestatus": batch["l_linestatus"].combine_chunks(),
+            "sum_qty": _fx(batch["sum_qty"], 0),
+            "sum_base_price_cents": _fx(batch["sum_base_price"], 2),
+            "sum_disc_price_cents": _fx(batch["sum_disc_price"], 2),
+            "avg_qty_e4": _fx(pc.divide(batch["sum_qty"], n), 4),
+            "avg_price_e4": _fx(pc.divide(batch["sum_base_price"], n), 4),
+            "avg_disc_e6": _fx(pc.divide(batch["_sum_disc"], n), 6),
+            "count_order": batch["count_order"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT)                          AS sum_qty,
+       CAST(round(100 * sum(l_extendedprice)) AS BIGINT)               AS sum_base_price_cents,
+       CAST(round(100 * sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price_cents,
+       CAST(round(10000 * sum(l_quantity) / count(*)) AS BIGINT)       AS avg_qty_e4,
+       CAST(round(10000 * sum(l_extendedprice) / count(*)) AS BIGINT)  AS avg_price_e4,
+       CAST(round(1000000 * sum(l_discount) / count(*)) AS BIGINT)     AS avg_disc_e6,
+       count(*)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf_dir: str):
+    """Vectorized filter + projection (SURVEY.md M7/M8/M9)."""
+    ds = R.read_table(sf_dir, "events",
+                      columns=["event_id", "user_id", "event_type", "value"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["event_type"], "click"),
+                       pc.greater(batch["value"], 50.0))
+        return batch.filter(mask).select(["event_id", "user_id", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_Q02 = """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'click' AND value > 50.0
+"""
+
+
+def q03_broadcast_join_agg(sf_dir: str):
+    """Broadcast hash join (SURVEY.md M5): orders ⨝ customer ⨝ nation."""
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    orders = R.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = R.broadcast_join(orders, dim.select(["c_custkey", "n_name"]),
+                              keys="o_custkey", right_keys="c_custkey")
+    agg = R.partial_groupby(joined, ["n_name"],
+                            [("o_totalprice", "sum", "revenue"),
+                             ("o_totalprice", "count", "n_orders")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"].combine_chunks(),
+            "n_orders": batch["n_orders"].cast(pa.int64()),
+            "revenue_cents": _fx(batch["revenue"], 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q03 = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation  ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q04_sort_limit(sf_dir: str):
+    """Global sort + limit (SURVEY.md R5/R6)."""
+    ds = R.read_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+_SQL_Q04 = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q05_distinct(sf_dir: str):
+    """Exact distinct via hash-partition + per-group first (SURVEY.md R7)."""
+    return R.distinct(R.read_table(sf_dir, "documents", ["lang", "source"]),
+                      ["lang", "source"])
+
+
+_SQL_Q05 = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q06_count_by_group(sf_dir: str):
+    """Combiner-style count/sum per group (SURVEY.md R4)."""
+    ds = R.read_table(sf_dir, "events", ["event_type", "value"])
+    agg = R.partial_groupby(ds, ["event_type"],
+                            [("value", "count", "n_events"),
+                             ("value", "sum", "total_value")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks(),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "total_value_cents": _fx(batch["total_value"], 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q06 = """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(100 * sum(value)) AS BIGINT) AS total_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+def q07_anti_join(sf_dir: str):
+    """Anti join via broadcast key set — the resume/change-detection shape
+    (SURVEY.md R8). Customers with no pending ('P') order."""
+    orders = R.read_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    pending = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "P")),
+        batch_format="pyarrow")
+    keys = R.column_key_set(pending, "o_custkey")
+    cust = R.read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    return R.broadcast_anti(cust, "c_custkey", keys)
+
+
+_SQL_Q07 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def q08_semi_join_agg(sf_dir: str):
+    """Semi join via broadcast key set + groupby count."""
+    li = R.read_table(sf_dir, "lineitem", ["l_partkey"])
+    keys = R.column_key_set(li, "l_partkey")
+    part = R.read_table(sf_dir, "part", ["p_partkey", "p_brand"])
+    sem = R.broadcast_semi(part, "p_partkey", keys)
+    agg = R.partial_groupby(sem, ["p_brand"],
+                            [("p_partkey", "count", "n_parts")])
+    return agg.map_batches(
+        lambda b: pa.table({"p_brand": b["p_brand"].combine_chunks(),
+                            "n_parts": b["n_parts"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+_SQL_Q08 = """
+SELECT p_brand, count(*) AS n_parts FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand
+"""
+
+
+def q09_topk_per_group(sf_dir: str):
+    """Per-group top-k with deterministic tie-breaks (SURVEY.md R2 shape)."""
+    orders = R.read_table(sf_dir, "orders",
+                          ["o_custkey", "o_orderkey", "o_totalprice"])
+    return R.topk_per_group(orders, ["o_custkey"],
+                            [("o_totalprice", "descending"),
+                             ("o_orderkey", "ascending")], 3)
+
+
+_SQL_Q09 = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q10_window_hourly(sf_dir: str):
+    """Tumbling event-time window as groupby(key, floor(ts)) (SURVEY.md §2.6
+    streaming note)."""
+    ds = R.read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def hourly(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks(),
+            "hour": hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour,
+            "value": batch["value"].combine_chunks(),
+        })
+
+    agg = R.partial_groupby(ds.map_batches(hourly, batch_format="pyarrow"),
+                            ["event_type", "hour"],
+                            [("value", "count", "n_events"),
+                             ("value", "sum", "_sum_value")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks(),
+            "hour": batch["hour"].combine_chunks(),
+            "n_events": batch["n_events"].cast(pa.int64()),
+            "avg_value_e4": _fx(
+                pc.divide(batch["_sum_value"],
+                          batch["n_events"].cast(pa.float64())), 4),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q10 = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+       CAST(round(10000 * sum(value) / count(*)) AS BIGINT) AS avg_value_e4
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q11_string_normalize(sf_dir: str):
+    """String-normalizer chain via pyarrow.compute kernels (SURVEY.md M2)."""
+    return T.normalize_text(R.read_table(sf_dir, "documents",
+                                         ["doc_id", "text"]))
+
+
+_SQL_Q11 = r"""
+SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS text_norm
+FROM documents
+"""
+
+
+def q12_regex_hits(sf_dir: str):
+    """Vectorized regex extraction/counting (SURVEY.md M1)."""
+    return T.regex_hits(R.read_table(sf_dir, "documents", ["doc_id", "text"]),
+                        "data")
+
+
+_SQL_Q12 = """
+SELECT doc_id, len(regexp_extract_all(text, 'data')) AS n_hits FROM documents
+"""
+
+
+def q13_monthly_orders(sf_dir: str):
+    """Date bucketing + aggregate (SURVEY.md M6 + R4)."""
+    ds = R.read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def monthly(batch: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(batch["o_orderdate"], unit="month")
+        return pa.table({
+            "month": month.combine_chunks() if isinstance(month, pa.ChunkedArray) else month,
+            "o_totalprice": batch["o_totalprice"].combine_chunks(),
+        })
+
+    agg = R.partial_groupby(ds.map_batches(monthly, batch_format="pyarrow"),
+                            ["month"],
+                            [("o_totalprice", "count", "n_orders"),
+                             ("o_totalprice", "sum", "total_price")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": batch["month"].combine_chunks(),
+            "n_orders": batch["n_orders"].cast(pa.int64()),
+            "total_price_cents": _fx(batch["total_price"], 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q13 = """
+SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+       CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS total_price_cents
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def q14_hash_join_agg(sf_dir: str):
+    """Bucketed hash join of two LARGE sides (one shuffle) + aggregate."""
+    li = R.read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = R.read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = R.hash_join(li, orders, "l_orderkey", "o_orderkey",
+                         num_buckets=32)
+    agg = R.partial_groupby(joined, ["o_orderpriority"],
+                            [("l_extendedprice", "count", "n_items"),
+                             ("l_extendedprice", "sum", "total")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"].combine_chunks(),
+            "n_items": batch["n_items"].cast(pa.int64()),
+            "total_cents": _fx(batch["total"], 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q14 = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(round(100 * sum(l_extendedprice)) AS BIGINT) AS total_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q15_region_revenue(sf_dir: str):
+    """Multi-way broadcast join chain: region ⨝ nation ⨝ customer ⨝ orders."""
+    region = _small(sf_dir, "region")
+    nation = _small(sf_dir, "nation")
+    cust = _small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]) \
+              .join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    orders = R.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = R.broadcast_join(orders, dim.select(["c_custkey", "r_name"]),
+                              keys="o_custkey", right_keys="c_custkey")
+    agg = R.partial_groupby(joined, ["r_name"],
+                            [("o_totalprice", "count", "n_orders"),
+                             ("o_totalprice", "sum", "revenue")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"].combine_chunks(),
+            "n_orders": batch["n_orders"].cast(pa.int64()),
+            "revenue_cents": _fx(batch["revenue"], 2),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q15 = """
+SELECT r_name, count(*) AS n_orders,
+       CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q16_journeys(sf_dir: str):
+    """Ordered per-key reassembly — the conversation-reassembly shape
+    (SURVEY.md R3/P3) oracled on the events table."""
+    ds = R.read_table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def _j(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                ("event_id", "ascending")])
+        g = group.take(idx)
+        return pa.table({
+            "user_id": g["user_id"].slice(0, 1).combine_chunks(),
+            "n_events": pa.array([len(g)], pa.int64()),
+            "journey": pa.array(["|".join(g["event_type"].to_pylist())],
+                                pa.string()),
+        })
+
+    return ds.groupby("user_id").map_groups(_j, batch_format="pyarrow")
+
+
+_SQL_Q16 = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text (documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q17_exact_dedup(sf_dir: str):
+    return D.exact_dedup(R.read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_SQL_Q17 = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q18_minhash_lsh_dedup(sf_dir: str):  # rows-only (approximate by design)
+    return D.minhash_lsh_dedup(
+        R.read_table(sf_dir, "documents", ["doc_id", "text"]), tau=0.30)
+
+
+def q19_simhash_dedup(sf_dir: str):  # rows-only (approximate by design)
+    return D.simhash_dedup(
+        R.read_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
+
+
+def q20_ngram_jaccard_dedup(sf_dir: str):  # rows-only (approximate by design)
+    return D.ngram_jaccard_dedup(
+        R.read_table(sf_dir, "documents", ["doc_id", "text"]), tau=0.02)
+
+
+def q21_embedding_neardup(sf_dir: str):
+    return D.embedding_neardup_exact(
+        R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.40)
+
+
+_SQL_Q21 = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+"""
+
+
+def q22_embedding_neardup_lsh(sf_dir: str):  # rows-only (approximate)
+    return D.embedding_neardup_lsh(
+        R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.40)
+
+
+def q23_similarity_topk(sf_dir: str):
+    return S.topk_bruteforce(
+        R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=list(range(10)), k=5)
+
+
+_SQL_Q23 = """
+SELECT query_id, neighbor_id,
+       CAST(round(1000000 * sim) AS BIGINT) AS sim_e6, rank FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim,
+         row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                      b.vec_id) AS rank
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 10) WHERE rank <= 5
+"""
+
+
+def q24_similarity_ivf(sf_dir: str):  # rows-only (approximate by design)
+    return S.topk_ivf(
+        R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=list(range(10)), k=5)
+
+
+def q25_token_count(sf_dir: str):
+    return T.token_counts(R.read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+_SQL_Q25 = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_subtokens
+FROM documents
+"""
+
+
+def q26_text_quality(sf_dir: str):
+    return T.quality_scores(R.read_table(sf_dir, "documents",
+                                         ["doc_id", "text"]))
+
+
+_SQL_Q26 = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+           / len(regexp_extract_all(text, '\S+')) AS avg_token_len,
+       len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text)
+           AS punct_ratio,
+       len(list_filter(regexp_extract_all(text, '\S+'),
+                       x -> lower(x) IN ('the','a','an','and','or','of','to',
+                                         'in','is','are','was','were','be',
+                                         'been','it','this','that','with',
+                                         'for','on','as','at','by','from')))
+           ::DOUBLE / len(regexp_extract_all(text, '\S+')) AS stopword_ratio
+FROM documents
+"""
+
+
+def q27_fingerprint(sf_dir: str):
+    ds = T.fingerprints(R.read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "fp"])
+
+
+_SQL_Q27 = "SELECT doc_id, md5(lower(text)) AS fp FROM documents"
+
+
+def q28_langid(sf_dir: str):  # rows-only (heuristic model stand-in)
+    return T.language_id(R.read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q29_multimodal_features(sf_dir: str):  # rows-only (stubbed decode)
+    payloads = MM.synthesize_payloads(
+        R.read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return MM.decode_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries over the synthetic transcript corpus (rows-only: the
+# transcripts table is not registered in the driver's DuckDB; correctness is
+# pytest's golden-oracle job)
+# ---------------------------------------------------------------------------
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # "sf0.01"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.01
+
+
+@functools.lru_cache(maxsize=4)
+def _kg_corpus(sf_dir: str) -> str:
+    from ..fixtures import generate_corpus
+
+    sf = _sf_of(sf_dir)
+    n_convs = max(20, int(40_000 * sf))
+    out = Path("/tmp/cdrc_kg_corpus") / f"sf{sf}"
+    generate_corpus(out, n_convs=n_convs, seed=42)
+    return str(out)
+
+
+@functools.lru_cache(maxsize=4)
+def _kg_arts(sf_dir: str):
+    from .kg import run_kg
+
+    return run_kg(_kg_corpus(sf_dir), DEFAULT_CONFIG)
+
+
+def kg_conversations(sf_dir: str):
+    return _kg_arts(sf_dir)["conversations"].select_columns(
+        ["conv_id", "n_turns"])
+
+
+def kg_mentions(sf_dir: str):
+    return _kg_arts(sf_dir)["mentions"]
+
+
+def kg_triples(sf_dir: str):
+    return _kg_arts(sf_dir)["triples"]
+
+
+def kg_links(sf_dir: str):
+    return _kg_arts(sf_dir)["links"]
+
+
+def kg_canon_map(sf_dir: str):
+    return _kg_arts(sf_dir)["canon_map"]
+
+
+def kg_edges(sf_dir: str):
+    return _kg_arts(sf_dir)["edges"].select_columns(
+        ["subj", "pred", "obj", "weight"])
+
+
+def kg_nodes(sf_dir: str):
+    return _kg_arts(sf_dir)["nodes"]
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_broadcast_join_agg": q03_broadcast_join_agg,
+    "q04_sort_limit": q04_sort_limit,
+    "q05_distinct": q05_distinct,
+    "q06_count_by_group": q06_count_by_group,
+    "q07_anti_join": q07_anti_join,
+    "q08_semi_join_agg": q08_semi_join_agg,
+    "q09_topk_per_group": q09_topk_per_group,
+    "q10_window_hourly": q10_window_hourly,
+    "q11_string_normalize": q11_string_normalize,
+    "q12_regex_hits": q12_regex_hits,
+    "q13_monthly_orders": q13_monthly_orders,
+    "q14_hash_join_agg": q14_hash_join_agg,
+    "q15_region_revenue": q15_region_revenue,
+    "q16_journeys": q16_journeys,
+    "q17_exact_dedup": q17_exact_dedup,
+    "q18_minhash_lsh_dedup": q18_minhash_lsh_dedup,
+    "q19_simhash_dedup": q19_simhash_dedup,
+    "q20_ngram_jaccard_dedup": q20_ngram_jaccard_dedup,
+    "q21_embedding_neardup": q21_embedding_neardup,
+    "q22_embedding_neardup_lsh": q22_embedding_neardup_lsh,
+    "q23_similarity_topk": q23_similarity_topk,
+    "q24_similarity_ivf": q24_similarity_ivf,
+    "q25_token_count": q25_token_count,
+    "q26_text_quality": q26_text_quality,
+    "q27_fingerprint": q27_fingerprint,
+    "q28_langid": q28_langid,
+    "q29_multimodal_features": q29_multimodal_features,
+    "kg_conversations": kg_conversations,
+    "kg_mentions": kg_mentions,
+    "kg_triples": kg_triples,
+    "kg_links": kg_links,
+    "kg_canon_map": kg_canon_map,
+    "kg_edges": kg_edges,
+    "kg_nodes": kg_nodes,
+}
+
+ORACLE_SQL = {
+    "q01_pricing_summary": _SQL_Q01,
+    "q02_filter_project": _SQL_Q02,
+    "q03_broadcast_join_agg": _SQL_Q03,
+    "q04_sort_limit": _SQL_Q04,
+    "q05_distinct": _SQL_Q05,
+    "q06_count_by_group": _SQL_Q06,
+    "q07_anti_join": _SQL_Q07,
+    "q08_semi_join_agg": _SQL_Q08,
+    "q09_topk_per_group": _SQL_Q09,
+    "q10_window_hourly": _SQL_Q10,
+    "q11_string_normalize": _SQL_Q11,
+    "q12_regex_hits": _SQL_Q12,
+    "q13_monthly_orders": _SQL_Q13,
+    "q14_hash_join_agg": _SQL_Q14,
+    "q15_region_revenue": _SQL_Q15,
+    "q16_journeys": _SQL_Q16,
+    "q17_exact_dedup": _SQL_Q17,
+    "q21_embedding_neardup": _SQL_Q21,
+    "q23_similarity_topk": _SQL_Q23,
+    "q25_token_count": _SQL_Q25,
+    "q26_text_quality": _SQL_Q26,
+    "q27_fingerprint": _SQL_Q27,
+}

@@ -1,0 +1,225 @@
+"""Generic relational operators over ray.data (SURVEY.md §2.2/§2.4 + §2.6).
+
+The reference's only join is a per-document linear scan of two metadata lists
+(/root/reference/src/datastore.py:19-42, SURVEY.md M5) and its only
+aggregations are Counter/sort/limit (src/cdrc_logs.py:38-44). This module
+generalizes those shapes into reusable, scale-aware operators:
+
+- ``broadcast_join``  small side replicated, per-batch Acero join → NO shuffle
+- ``broadcast_semi`` / ``broadcast_anti``  broadcast key set + vectorized mask
+- ``hash_join``       both sides large: explicit bucketed hash join — each
+  side gets ``bucket = crc32(key) % B``, a single groupby(bucket) shuffle
+  co-locates matching buckets, and the per-bucket join is a vectorized
+  ``pyarrow.Table.join``. B is the partitioning knob; skewed keys can be
+  salted by raising B (documented assumption: one bucket fits in memory).
+- ``partial_groupby``  combiner-style aggregation: per-batch pre-aggregation
+  (pyarrow group_by) before the shuffle, then a merge of partials — the
+  pattern every wide aggregate here uses (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SIDE_COL = "__side"
+_BUCKET_COL = "__bucket"
+
+
+def read_table(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+def broadcast_join(large, small: pa.Table, keys, right_keys=None,
+                   join_type: str = "inner"):
+    """Join a Dataset against a SMALL in-memory pyarrow table, no shuffle.
+
+    The small side ships to each task once (captured in the UDF closure /
+    object store); each Arrow batch joins vectorized via Acero.
+    """
+    import ray
+
+    small_ref = ray.put(small)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    rkeys = ([right_keys] if isinstance(right_keys, str) else
+             list(right_keys)) if right_keys else keys
+
+    def _join(batch: pa.Table) -> pa.Table:
+        s = ray.get(small_ref)
+        return batch.join(s, keys=keys, right_keys=rkeys, join_type=join_type)
+
+    return large.map_batches(_join, batch_format="pyarrow")
+
+
+def broadcast_semi(large, key_col: str, key_set):
+    """Keep rows whose key is in the broadcast set (left-semi)."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(key_set)))
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key_col], value_set=ray.get(ref))
+        return batch.filter(mask)
+
+    return large.map_batches(_semi, batch_format="pyarrow")
+
+
+def broadcast_anti(large, key_col: str, key_set):
+    """Keep rows whose key is NOT in the broadcast set (left-anti) —
+    the resume/change-detection shape (SURVEY.md R8)."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(key_set)))
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch[key_col], value_set=ray.get(ref)))
+        return batch.filter(mask)
+
+    return large.map_batches(_anti, batch_format="pyarrow")
+
+
+def column_key_set(ds, col: str) -> set:
+    """Distinct values of one column, collected to the driver.
+
+    Only for provably small key domains (dimension keys); the scale path for
+    big domains is ``hash_join``/semi with a shuffle instead.
+    """
+    out: set = set()
+    for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        out.update(pc.unique(b[col].combine_chunks()).to_pylist())
+    return out
+
+
+def hash_join(left, right, left_key: str, right_key: str,
+              num_buckets: int = 64, join_type: str = "inner"):
+    """Bucketed hash join for two LARGE datasets (one all-to-all shuffle).
+
+    Both sides are tagged and bucketed by crc32(key) % B, unioned, grouped by
+    bucket, and joined per bucket with a vectorized Acero join. Assumes any
+    single bucket fits in a worker's heap — raise ``num_buckets`` for bigger
+    data or skew.
+    """
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    shared = (set(lcols) & set(rcols)) - {left_key}
+    if shared:
+        raise ValueError(f"ambiguous columns: {shared}")
+
+    # build a unified nullable schema: left cols + right cols
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_cols = list(ltypes) + [c for c in rtypes if c not in ltypes]
+
+    def tag_side(side: int, types_self: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = left_key if side == 0 else right_key
+            ks = batch[key].combine_chunks()
+            if pa.types.is_integer(ks.type):  # vectorized path
+                bucket = pa.array(ks.to_numpy() % num_buckets).cast(pa.int32())
+            else:
+                bucket = pa.array(
+                    [zlib.crc32(str(v).encode()) % num_buckets
+                     for v in ks.to_pylist()], type=pa.int32())
+            cols = {_BUCKET_COL: bucket,
+                    _SIDE_COL: pa.array([side] * len(batch), type=pa.int8())}
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch[c].combine_chunks()
+                else:
+                    t = ltypes.get(c) or rtypes.get(c)
+                    cols[c] = pa.nulls(len(batch), t)
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(tag_side(0, ltypes), batch_format="pyarrow").union(
+        right.map_batches(tag_side(1, rtypes), batch_format="pyarrow"))
+
+    out_cols = [c for c in all_cols]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group[_SIDE_COL]
+        lmask = pc.equal(side, 0)
+        lt = group.filter(lmask).select(lcols)
+        rt = group.filter(pc.invert(lmask)).select(rcols)
+        joined = lt.join(rt, keys=[left_key], right_keys=[right_key],
+                         join_type=join_type)
+        # Acero may reorder; normalize column order
+        want = [c for c in out_cols if c in joined.column_names]
+        return joined.select(want)
+
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# combiner-style aggregation
+# ---------------------------------------------------------------------------
+_PARTIAL_OPS = {"sum", "count", "min", "max"}
+
+
+def partial_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """Pre-aggregated groupby: ``aggs`` = [(col, op, out_name)] with op in
+    {sum,count,min,max}. Each batch collapses to one partial row per key
+    (pyarrow group_by — vectorized), THEN the shuffle runs over partials.
+
+    count partials become sums at merge time. avg = sum/count downstream.
+    """
+    for _, op, _ in aggs:
+        if op not in _PARTIAL_OPS:
+            raise ValueError(op)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spec = [(c, op) for c, op, _ in aggs]
+        g = batch.group_by(keys).aggregate(spec)
+        cols = {k: g[k] for k in keys}
+        for c, op, out in aggs:
+            cols[out] = g[f"{c}_{op}"]
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merge_op = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def merge(group: pa.Table) -> pa.Table:
+        cols = {k: group[k].slice(0, 1).combine_chunks() for k in keys}
+        for _, op, out in aggs:
+            f = getattr(pc, merge_op[op])
+            cols[out] = pa.array([f(group[out]).as_py()])
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+
+
+def sort_limit(ds, sort_keys: list[tuple[str, str]], n: int):
+    """Global top-n: ds.sort(...).limit(n) (range-partitioned shuffle)."""
+    cols = [k for k, _ in sort_keys]
+    desc = [d == "descending" for _, d in sort_keys]
+    return ds.sort(cols, descending=desc).limit(n)
+
+
+def distinct(ds, keys: list[str]):
+    """Exact distinct on key columns: hash-partition + per-group first
+    (SURVEY.md R7 generalized)."""
+    return ds.select_columns(keys).groupby(keys).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def topk_per_group(ds, group_keys: list[str], sort_keys: list[tuple[str, str]],
+                   k: int):
+    """Per-group top-k with deterministic tie-breaks (SURVEY.md R2 shape)."""
+
+    def _top(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=sort_keys)
+        out = group.take(idx.slice(0, k))
+        return out.append_column(
+            "rn", pa.array(range(1, len(out) + 1), type=pa.int64()))
+
+    return ds.groupby(group_keys).map_groups(_top, batch_format="pyarrow")

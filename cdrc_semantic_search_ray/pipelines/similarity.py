@@ -1,0 +1,178 @@
+"""Similarity search over an embedding column (SURVEY.md R1/R2 generalized).
+
+The reference's retrieval core — embed query → cosine top-k against a vector
+index (/root/reference/src/model.py:63-79) — re-expressed over a Ray Dataset
+WITHOUT a vector-store service:
+
+- ``topk_bruteforce``: the exact baseline. The (small) query matrix is
+  broadcast; every data batch computes a vectorized partial top-k, and a
+  single groupby(query) merges partials into the global top-k. Wall-clock
+  scales with corpus/batches, memory with k×queries — never with the corpus.
+- ``topk_ivf``: the scale path — an IVF-style coarse quantizer (seeded SRP
+  buckets) prunes the corpus to buckets near each query before scoring
+  (approximate; probes > 1 bucket for recall).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.blocking import _planes  # deterministic seeded hyperplanes
+
+TOPK_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("neighbor_id", pa.int64()),
+    ("sim_e6", pa.int64()),  # fixed-point cosine (×1e6) — engine-proof hash
+    ("rank", pa.int64()),
+])
+
+
+def _sim_e6(x: float) -> int:
+    import math
+
+    return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in batch[col].to_pylist()])
+
+
+def topk_bruteforce(embeddings, query_ids: list[int], k: int = 5):
+    """Exact cosine top-k for each query id (rows of the same table).
+
+    partial top-k per batch  →  groupby(query_id) merge  →  global top-k.
+    Self-matches are excluded. Ties break on lower neighbor_id.
+    """
+    import ray
+
+    qtab = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    value_set=pa.array(query_ids))),
+        batch_format="pyarrow").to_pandas()
+    q_ids = qtab["vec_id"].to_numpy()
+    q_mat = _normalize(np.stack(qtab["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((q_ids, q_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_numpy())
+        m = _normalize(_batch_matrix(batch))
+        sims = qm @ m.T  # (Q, B)
+        kk = min(k + 1, sims.shape[1])  # +1 in case self is in this batch
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(qids)):
+            for j in part[qi]:
+                if ids[j] == qids[qi]:
+                    continue
+                rows["query_id"].append(int(qids[qi]))
+                rows["neighbor_id"].append(int(ids[j]))
+                rows["sim"].append(float(sims[qi, j]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64()),
+        })
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("sim", "descending"),
+                                                ("neighbor_id", "ascending")])
+        g = group.take(idx.slice(0, k))
+        sims = [_sim_e6(s) for s in g["sim"].to_pylist()]
+        return pa.table({
+            "query_id": g["query_id"].combine_chunks(),
+            "neighbor_id": g["neighbor_id"].combine_chunks(),
+            "sim_e6": pa.array(sims, pa.int64()),
+            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
+        }, schema=TOPK_SCHEMA)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
+             n_bits: int = 4, probes: int = 2, seed: int = 42):
+    """IVF-ish approximate top-k: corpus bucketed by SRP sign bits; each
+    query scores only its ``probes`` nearest buckets (by hyperplane margin).
+
+    Same output schema as :func:`topk_bruteforce`; recall < 1 by design.
+    """
+    import ray
+
+    qtab = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    value_set=pa.array(query_ids))),
+        batch_format="pyarrow").to_pandas()
+    q_ids = qtab["vec_id"].to_numpy()
+    q_mat = _normalize(np.stack(qtab["embedding"].to_numpy()).astype(np.float64))
+    dim = q_mat.shape[1]
+    planes = _planes(dim, n_bits, seed).astype(np.float64)
+
+    # per-query probe buckets: flip the lowest-|margin| bits
+    proj = q_mat @ planes
+    base = (proj >= 0).astype(np.int64) @ (1 << np.arange(n_bits))
+    weakest = np.argsort(np.abs(proj), axis=1)[:, :max(0, probes - 1)]
+    probe_sets = []
+    for qi in range(len(q_ids)):
+        buckets = {int(base[qi])}
+        for b in weakest[qi]:
+            buckets.add(int(base[qi]) ^ (1 << int(b)))
+        probe_sets.append(buckets)
+    ref = ray.put((q_ids, q_mat, probe_sets))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch))
+        bits = (m @ planes >= 0).astype(np.int64) @ (1 << np.arange(n_bits))
+        return batch.append_column("bucket", pa.array(bits, pa.int64()))
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, probes_ = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_numpy())
+        buckets = np.asarray(batch["bucket"].to_numpy())
+        m = _normalize(_batch_matrix(batch))
+        rows = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(len(qids)):
+            mask = np.isin(buckets, list(probes_[qi]))
+            if not mask.any():
+                continue
+            sims = qm[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            kk = min(k + 1, len(sub_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            for j in part:
+                if sub_ids[j] == qids[qi]:
+                    continue
+                rows["query_id"].append(int(qids[qi]))
+                rows["neighbor_id"].append(int(sub_ids[j]))
+                rows["sim"].append(float(sims[j]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "sim": pa.array(rows["sim"], pa.float64()),
+        })
+
+    partials = bucketed.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("sim", "descending"),
+                                                ("neighbor_id", "ascending")])
+        g = group.take(idx.slice(0, k))
+        return pa.table({
+            "query_id": g["query_id"].combine_chunks(),
+            "neighbor_id": g["neighbor_id"].combine_chunks(),
+            "sim_e6": pa.array([_sim_e6(s) for s in g["sim"].to_pylist()],
+                               pa.int64()),
+            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
+        }, schema=TOPK_SCHEMA)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Checkpointed / resumable KG run: partitioned Parquet stages + manifest.
+
+The streaming variant (pipelines/kg.py) holds intermediates in the object
+store; THIS variant is the production layout for long 100 TB runs
+(BASELINE.md resumability target):
+
+  stage "triples_raw"  read → reassemble → extract, tagged with
+                       part_id = crc32(conv_id) % P, written as
+                       out/triples_raw/part_id=K/*.parquet (hive layout)
+  stage "triples"      per-PARTITION resolve (link+canon broadcast maps):
+                       pending partitions = manifest anti-join; each pending
+                       partition reads ONLY its hive directory, writes its
+                       own output directory, then appends its manifest row
+  stage "edges"/"nodes" groupby aggregation over resolved triples
+
+Partitioning note: partition-level resume is only sound AFTER data is keyed
+by conv hash — the raw input files interleave conversations (by design), so
+the first stage checkpoints at stage granularity and every later stage at
+partition granularity. Writes are idempotent: a partition directory is
+deleted before rewrite, and the manifest row lands only after the write
+returns.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+import zlib
+from pathlib import Path
+
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..pipelines import kg as K
+from .manifest import Manifest
+
+
+def _add_part_id(num_parts: int):
+    def f(batch: pa.Table) -> pa.Table:
+        parts = [zlib.crc32(c.encode()) % num_parts
+                 for c in batch["conv_id"].to_pylist()]
+        return batch.append_column("part_id", pa.array(parts, pa.int32()))
+
+    return f
+
+
+def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        num_parts: int = 8) -> dict:
+    """Run (or RESUME) the KG pipeline with durable stage outputs.
+
+    Returns {"out_dir", "manifest", "recomputed": {stage: [parts]}}.
+    """
+    import ray.data as rd
+
+    corpus = Path(corpus_dir)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    man = Manifest(out)
+    lexicon = str(corpus / "lexicon.parquet")
+    catalogue = str(corpus / "catalogue.parquet")
+    recomputed: dict[str, list[int]] = {}
+
+    # ---- stage 1: triples_raw (stage-granular; partitioned hive output) ---
+    traw_dir = out / "triples_raw"
+    if not man.stage_done("triples_raw"):
+        t0 = time.time()
+        if traw_dir.exists():
+            shutil.rmtree(traw_dir)  # idempotent re-run of a torn stage
+        conversations = K.build_conversations(corpus)
+        triples_raw = K.extract_triples(conversations, lexicon, cfg)
+        tagged = triples_raw.map_batches(_add_part_id(num_parts),
+                                         batch_format="pyarrow")
+        tagged.write_parquet(str(traw_dir), partition_cols=["part_id"])
+        wall = time.time() - t0
+        for p in range(num_parts):
+            pdir = traw_dir / f"part_id={p}"
+            rows = sum(pa.parquet.read_metadata(f).num_rows
+                       for f in pdir.glob("*.parquet")) if pdir.exists() else 0
+            man.record("triples_raw", p, rows, wall_s=wall / num_parts)
+        man.mark_stage_done("triples_raw")
+        recomputed["triples_raw"] = list(range(num_parts))
+
+    # ---- link + canon maps (small; recomputed each run — cheap) -----------
+    traw = rd.read_parquet(str(traw_dir))
+    norms = K.distinct_norms(traw)
+    links = K.link_norms(norms, catalogue, cfg, top_k=1)
+    canon_map = K.canonicalize(catalogue, cfg)
+
+    link_map: dict[str, str] = {}
+    for b in links.iter_batches(batch_format="pyarrow"):
+        link_map.update(zip(b["norm"].to_pylist(), b["entity_id"].to_pylist()))
+    canon: dict[str, str] = {}
+    for b in canon_map.iter_batches(batch_format="pyarrow"):
+        canon.update(zip(b["entity_key"].to_pylist(),
+                         b["canonical_id"].to_pylist()))
+
+    # ---- stage 2: resolved triples (PARTITION-granular resume) ------------
+    import ray
+
+    tdir = out / "triples"
+    pending = man.pending("triples", range(num_parts))
+    recomputed["triples"] = pending
+    for p in pending:
+        t0 = time.time()
+        src = traw_dir / f"part_id={p}"
+        dst = tdir / f"part_id={p}"
+        if dst.exists():
+            shutil.rmtree(dst)  # torn write from a killed run
+        if not src.exists():
+            man.record("triples", p, 0, wall_s=0.0)
+            continue
+        part = rd.read_parquet(str(src))
+        resolved = part.map_batches(
+            K.Resolver,
+            fn_constructor_kwargs={"links_ref": ray.put(link_map),
+                                   "canon_ref": ray.put(canon)},
+            batch_format="pyarrow", batch_size=cfg.batch_size,
+            concurrency=(1, cfg.link_concurrency))
+        resolved.write_parquet(str(dst))
+        rows = resolved.count()
+        man.record("triples", p, rows, wall_s=time.time() - t0)
+    if not man.stage_done("triples") and not man.pending(
+            "triples", range(num_parts)):
+        man.mark_stage_done("triples")
+
+    # ---- stage 3: edges + nodes ------------------------------------------
+    triples = rd.read_parquet(str(tdir))
+    if not man.stage_done("edges"):
+        t0 = time.time()
+        for d in (out / "edges", out / "nodes"):
+            if d.exists():
+                shutil.rmtree(d)
+        edges = K.aggregate_edges(triples, cfg).materialize()
+        edges.write_parquet(str(out / "edges"))
+        K.aggregate_nodes(edges, catalogue, cfg).write_parquet(
+            str(out / "nodes"))
+        man.record("edges", 0, edges.count(), wall_s=time.time() - t0)
+        man.mark_stage_done("edges")
+        recomputed["edges"] = [0]
+
+    return {"out_dir": str(out), "manifest": man, "recomputed": recomputed}

@@ -1,0 +1,60 @@
+"""Checkpoint/resume: kill-after-stage-k → rerun skips completed partitions
+and produces identical outputs (BASELINE.md resumability target)."""
+
+import shutil
+
+import pyarrow.parquet as pq
+
+
+def _triples(out_dir):
+    t = pq.read_table(str(out_dir / "triples"))
+    return set(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+                   t["subj"].to_pylist(), t["pred"].to_pylist(),
+                   t["obj"].to_pylist()))
+
+
+def test_checkpoint_run_and_resume(ray_session, unit_corpus, tmp_path,
+                                   golden_result):
+    from cdrc_semantic_search_ray.state.checkpoint import run_kg_checkpointed
+    from cdrc_semantic_search_ray.state.manifest import Manifest
+
+    out = tmp_path / "run"
+    res1 = run_kg_checkpointed(unit_corpus, out, num_parts=4)
+    assert res1["recomputed"]["triples_raw"] == [0, 1, 2, 3]
+    full = _triples(out)
+    assert full == golden_result["triples"]
+
+    # simulate a crash: lose two resolved partitions + their manifest rows
+    man_path = (out / "_manifest.jsonl")
+    lines = [l for l in man_path.read_text().splitlines()
+             if not ('"stage": "triples"' in l and
+                     ('"partition_id": 1' in l or '"partition_id": 2' in l))]
+    # also drop the edges stage (downstream of the lost partitions)
+    lines = [l for l in lines if '"stage": "edges"' not in l]
+    man_path.write_text("\n".join(lines) + "\n")
+    shutil.rmtree(out / "triples" / "part_id=1")
+    shutil.rmtree(out / "edges")
+
+    res2 = run_kg_checkpointed(unit_corpus, out, num_parts=4)
+    # only the lost partitions re-ran; completed ones were skipped
+    assert sorted(res2["recomputed"]["triples"]) == [1, 2]
+    assert "triples_raw" not in res2["recomputed"]
+    assert _triples(out) == full
+
+    man = Manifest(out)
+    assert man.pending("triples", range(4)) == []
+    assert man.stage_done("edges")
+
+
+def test_manifest_anti_join(tmp_path):
+    from cdrc_semantic_search_ray.state.manifest import Manifest
+
+    m = Manifest(tmp_path)
+    m.record("s", 0, 10)
+    m.record("s", 2, 5)
+    assert m.pending("s", range(4)) == [1, 3]
+    assert m.completed("s") == {0, 2}
+    assert not m.stage_done("s")
+    m.mark_stage_done("s")
+    assert m.stage_done("s")
+    assert m.stats()["s"]["rows"] == 15
