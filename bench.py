@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline: the flagship KG pipeline (read → reassemble → extract → link →
+canonicalize → resolve → edge/node materialize → parquet write) over a
+deterministic synthetic transcript corpus sized by $GRAFT_SF_DIR's scale
+factor, plus representative operator pipelines at the same sf over the
+driver testdata tables.
+
+    python bench.py              # one run: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
+    python bench.py --scaling    # two FRESH processes at 8 and 32 CPUs on the
+                                 # same input → throughputs + scaling efficiency
+
+The corpus is generated once and cached under /tmp (generation is untimed;
+an untimed warm-read precedes timing so page cache doesn't skew the compare).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS_PER_SF = 125_000  # sf0.1 → 12,500 convs ≈ 100k turns
+
+
+def _sf() -> float:
+    try:
+        return float(Path(SF_DIR).name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _ensure_corpus() -> str:
+    from cdrc_semantic_search_ray.fixtures import generate_corpus
+
+    n_convs = max(100, int(BENCH_CONVS_PER_SF * _sf()))
+    out = Path("/tmp/cdrc_bench_corpus") / f"sf{_sf()}"
+    generate_corpus(out, n_convs=n_convs, seed=42)
+    return str(out)
+
+
+def bench_kg(corpus: str, out_dir: str) -> dict:
+    """Time the full KG pipeline; returns {sec, n_turns, turns_per_sec}."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from cdrc_semantic_search_ray.pipelines import kg as K
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG as cfg
+
+    n_turns = pq.read_table(f"{corpus}/transcripts",
+                            columns=["turn_idx"]).num_rows  # warm + count
+    t0 = time.time()
+    conversations = K.build_conversations(corpus)
+    lexicon = f"{corpus}/lexicon.parquet"
+    catalogue = f"{corpus}/catalogue.parquet"
+    triples_raw = K.extract_triples(conversations, lexicon, cfg).materialize()
+    norms = K.distinct_norms(triples_raw)
+    links = K.link_norms(norms, catalogue, cfg, top_k=1)
+    canon_map = K.canonicalize(catalogue, cfg)
+    triples = K.resolve_triples(triples_raw, links, canon_map, cfg).materialize()
+    edges = K.aggregate_edges(triples, cfg).materialize()
+    nodes = K.aggregate_nodes(edges, catalogue, cfg)
+    edges.write_parquet(f"{out_dir}/edges")
+    nodes.write_parquet(f"{out_dir}/nodes")
+    sec = time.time() - t0
+    return {"sec": round(sec, 3), "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / sec, 1)}
+
+
+def bench_queries() -> dict[str, float]:
+    """Representative operator pipelines at $GRAFT_SF_DIR."""
+    from cdrc_semantic_search_ray.pipelines import queries as Q
+
+    picks = ["q01_pricing_summary", "q06_count_by_group", "q09_topk_per_group",
+             "q14_hash_join_agg", "q16_journeys", "q17_exact_dedup",
+             "q18_minhash_lsh_dedup", "q21_embedding_neardup",
+             "q23_similarity_topk", "q25_token_count", "q26_text_quality"]
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.time()
+        res = Q.QUERIES[name](SF_DIR)
+        # consume fully (streaming) without driver materialization
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow"):
+            n += len(b)
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    corpus = _ensure_corpus()
+    out_dir = f"/tmp/cdrc_bench_out/{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    kg = bench_kg(corpus, out_dir)
+    queries = bench_queries()
+    total = round(kg["sec"] + sum(queries.values()), 3)
+    result = {
+        "metric": "kg_pipeline+operator_suite wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {"kg_pipeline": kg["sec"], **queries},
+        "sf": _sf(),
+        "num_cpus": NUM_CPUS,
+        "kg_turns": kg["n_turns"],
+        "kg_turns_per_sec": kg["turns_per_sec"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two fresh processes (N and 4N CPUs), same input → scaling efficiency.
+
+    Sandbox stand-in for the north rule's two-cluster-size criterion
+    (no real multi-node cluster here; see BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    _ensure_corpus()  # generate once, untimed, shared by both runs
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["kg_turns_per_sec"]
+    tp_hi = r_hi["kg_turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "kg_pipeline scaling efficiency (8 → 32 CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf(),
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["queries"]["kg_pipeline"],
+        "sec_hi": r_hi["queries"]["kg_pipeline"],
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))
