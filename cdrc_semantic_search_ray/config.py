@@ -31,12 +31,18 @@ class EngineConfig:
     salt_factor: int = 8
     max_pairs_per_block: int = 20_000
     canon_max_rounds: int = 16     # label-propagation fixpoint bound
+    canon_driver_threshold: int = 2_000_000  # pair sets <= this collapse on
+    #                                the driver (SURVEY.md §7.4 residual
+    #                                collapse); larger run distributed rounds
     provenance_cap: int = 8        # provenance samples kept per edge
 
     # ---- execution sizing --------------------------------------------------
     batch_size: int = 1024         # rows per batch for actor-pool stages
-    detect_concurrency: int = 4    # actor-pool size for mention/triple stages
-    link_concurrency: int = 2
+    extract_batch_size: int = 256  # conversations per batch (≈8 turns each);
+    #                                smaller batches → enough batches to feed
+    #                                a cluster-sized autoscaling pool
+    detect_concurrency: int = 4    # actor-pool FLOOR; ceiling = cluster CPUs
+    link_concurrency: int = 2      # (see pipelines/kg.py:_pool_max)
     target_partitions: int = 64    # output partition count hint
 
     # ---- lineage / resume --------------------------------------------------

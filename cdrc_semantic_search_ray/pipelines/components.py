@@ -1,18 +1,19 @@
 """Distributed connected components (union-find) via min-label propagation.
 
 Ray Data has no union-find primitive (SURVEY.md §7.4); this implements the
-classic iterative min-label propagation entirely with ``groupby`` shuffles —
-no driver-side edge materialization:
+classic iterative min-label propagation entirely with ``sort``-partitioned
+shuffles — no driver-side edge materialization:
 
     label(n) ← min(label(n), min over neighbors m of label(m))
 
-repeated to fixpoint. Each round is two hash shuffles: one groupby(key) to
-join labels onto edge endpoints (a tagged union instead of a join — every row
-is either a label row or an edge row, grouped by node), one groupby(node) to
-take the min over proposed labels. Labels only decrease, so a cheap
-deterministic checksum (sum of crc32(node:label)) detects the fixpoint;
-rounds are bounded by ``max_rounds`` (component diameter bounds the true
-round count).
+repeated to fixpoint. Each round is two key-partitioned shuffles: one that
+co-locates every node's label row with the edges leaving it (a tagged union
+instead of a join — every row is either a label row or an edge row, keyed by
+node), one that takes the min over proposed labels per node. Within a block
+everything is vectorized (arrow local hash-join + group_by min — see
+stages/keyblocks.py); labels only decrease, so a deterministic checksum (sum
+of crc32(node:label)) detects the fixpoint; rounds are bounded by
+``max_rounds`` (component diameter bounds the true round count).
 
 For star-shaped near-duplicate clusters this converges in 2 rounds. The
 representative of each component is its lexicographically smallest node id —
@@ -27,7 +28,10 @@ import zlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.keyblocks import group_aggregate, map_key_blocks
+
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
+_PROP_SCHEMA = pa.schema([("node", pa.string()), ("cand", pa.string())])
 
 
 def _arr(col) -> pa.Array:
@@ -41,8 +45,12 @@ def _init_labels(edges):
         return pa.table({"node": u, "label": u}, schema=_LABEL_SCHEMA)
 
     cand = edges.map_batches(nodes_of, batch_format="pyarrow")
-    return cand.groupby("node").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    def uniq(block: pa.Table) -> pa.Table:
+        keys = block.group_by("node").aggregate([])["node"]
+        return pa.table({"node": keys, "label": keys}, schema=_LABEL_SCHEMA)
+
+    return map_key_blocks(cand, ["node"], uniq)
 
 
 def _checksum(labels) -> int:
@@ -55,13 +63,61 @@ def _checksum(labels) -> int:
     return int(labels.map_batches(part, batch_format="pyarrow").sum("c"))
 
 
-def connected_components(edges, max_rounds: int = 16):
+def _collapse_on_driver(edges):
+    """Small-edge-set fast path: classic union-find on the driver.
+
+    SURVEY.md §7.4 allows collapsing a small residual graph on one node; we
+    apply the same size gate up front — when the candidate-pair table fits
+    trivially in driver memory, 10+ Ray jobs of label-propagation rounds are
+    pure overhead. Semantics are identical to the distributed path (and to
+    golden.UnionFind): component representative = lexicographically smallest
+    node id.
+    """
+    import ray.data as rd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.iter_batches(batch_format="pyarrow",
+                                    batch_size=65536):
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # min-label representative
+
+    items = [{"node": n, "label": find(n)} for n in sorted(parent)]
+    if not items:  # keep a typed, empty Dataset
+        return rd.from_arrow(pa.table({"node": [], "label": []},
+                                      schema=_LABEL_SCHEMA))
+    return rd.from_arrow(pa.Table.from_pylist(items, schema=_LABEL_SCHEMA))
+
+
+def connected_components(edges, max_rounds: int = 16,
+                         driver_threshold: int = 2_000_000):
     """edges Dataset (a:string, b:string, ...) → labels Dataset (node, label).
 
     Only nodes that appear in at least one edge are returned (isolated nodes
     are their own components by definition; callers default missing nodes to
     label = node).
+
+    Edge sets at or below ``driver_threshold`` rows collapse on the driver
+    (same result, none of the per-round shuffle overhead); larger ones run
+    the distributed min-label propagation below. Pass ``driver_threshold=0``
+    to force the distributed path (the conformance tests do).
     """
+    if driver_threshold:
+        edges = edges.materialize()
+        if edges.count() <= driver_threshold:
+            return _collapse_on_driver(edges)
+
     labels = _init_labels(edges).materialize()
     prev = _checksum(labels)
 
@@ -92,35 +148,31 @@ def connected_components(edges, max_rounds: int = 16):
             }),
             batch_format="pyarrow")
 
-        def propose(group: pa.Table) -> pa.Table:
-            labs = [x for x in group["label"].to_pylist() if x is not None]
-            if not labs:  # node had no label row (cannot happen after init)
-                return pa.table({"node": [], "cand": []},
-                                schema=pa.schema([("node", pa.string()),
-                                                  ("cand", pa.string())]))
-            lab = min(labs)
-            key = group["key"][0].as_py()
-            nodes = [key]
-            cands = [lab]
-            for d in group["dst"].to_pylist():
-                if d is not None:
-                    nodes.append(d)
-                    cands.append(lab)
-            return pa.table({"node": pa.array(nodes, type=pa.string()),
-                             "cand": pa.array(cands, type=pa.string())})
+        def propose(block: pa.Table) -> pa.Table:
+            """Block holds, per node key, its (single) label row and every
+            outgoing edge. Proposals: (key → label) and (dst → label) —
+            a block-local vectorized hash join instead of per-group Python."""
+            is_lab = pc.is_valid(block["label"])
+            labs = block.filter(is_lab).select(["key", "label"])
+            edge = block.filter(pc.invert(is_lab)).select(["key", "dst"])
+            self_rows = pa.table({"node": labs["key"], "cand": labs["label"]},
+                                 schema=_PROP_SCHEMA)
+            if len(edge) == 0:
+                return self_rows
+            joined = edge.join(labs, keys="key", join_type="inner")
+            nbr_rows = pa.table(
+                {"node": joined["dst"], "cand": joined["label"]},
+                schema=_PROP_SCHEMA)
+            return pa.concat_tables([self_rows, nbr_rows])
 
-        proposals = lab_rows.union(edge_rows).groupby("key").map_groups(
-            propose, batch_format="pyarrow")
+        proposals = map_key_blocks(lab_rows.union(edge_rows), ["key"], propose)
 
-        def take_min(group: pa.Table) -> pa.Table:
-            return pa.table({
-                "node": group["node"].slice(0, 1).combine_chunks(),
-                "label": pa.array([pc.min(group["cand"]).as_py()],
-                                  type=pa.string()),
-            }, schema=_LABEL_SCHEMA)
+        def take_min(block: pa.Table) -> pa.Table:
+            out = group_aggregate(block, ["node"], [("cand", "min")],
+                                  rename={"cand_min": "label"})
+            return out.select(["node", "label"]).cast(_LABEL_SCHEMA)
 
-        labels = proposals.groupby("node").map_groups(
-            take_min, batch_format="pyarrow").materialize()
+        labels = map_key_blocks(proposals, ["node"], take_min).materialize()
         cur = _checksum(labels)
         if cur == prev:
             break

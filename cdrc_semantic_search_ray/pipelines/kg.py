@@ -28,11 +28,37 @@ import pyarrow.compute as pc
 from ..config import DEFAULT_CONFIG, EngineConfig
 from ..stages.annotate import MentionDetector, TripleExtractor
 from ..stages.blocking import candidate_pairs
+from ..stages.keyblocks import group_aggregate, map_key_blocks
 from ..stages.linker import Linker
 from ..stages.reassemble import reassemble
 from .components import connected_components
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _pool_max(cfg_max: int) -> int:
+    """Actor-pool upper bound: scale with the cluster, not a constant.
+
+    ``cfg_max`` is a floor from config; on an initialised cluster the pool
+    may grow to the CPU count (autoscaling pools only spawn actors demand
+    actually needs, so a high ceiling costs nothing on small runs)."""
+    import ray
+
+    if ray.is_initialized():
+        return max(cfg_max, int(ray.cluster_resources().get("CPU", cfg_max)))
+    return cfg_max
+
+
+def _pool_limits(cfg_floor: int) -> tuple[int, int]:
+    """(min, max) for the DOMINANT compute stage's autoscaling pool.
+
+    min = half the pool cap, spawned upfront: a cold autoscaling pool ramps
+    so slowly the stage can finish before it ever reaches full width
+    (measured: ~3 effective actors on a 32-CPU node). max = cluster CPUs − 2:
+    a pool allowed to cover every CPU starves the upstream shuffle's tasks
+    and deadlocks the streaming executor (reproduced at num_cpus=4)."""
+    cap = max(1, _pool_max(cfg_floor) - 2)
+    return (max(min(cfg_floor, cap), cap // 2), cap)
 
 
 def read_transcripts(corpus_dir: str | Path, columns=None):
@@ -48,12 +74,15 @@ def build_conversations(corpus_dir: str | Path, columns=None):
 
 def extract_mentions(conversations, lexicon_path: str,
                      cfg: EngineConfig = DEFAULT_CONFIG):
+    # High-floor autoscaling pool (see _pool_limits): this is the dominant
+    # compute stage; a cold pool's ramp-up leaves most of the cluster idle
+    # for the first half of the stage.
     return conversations.map_batches(
         MentionDetector,
         fn_constructor_kwargs={"lexicon": lexicon_path},
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=(1, cfg.detect_concurrency),
+        batch_size=cfg.extract_batch_size,
+        concurrency=_pool_limits(cfg.detect_concurrency),
     )
 
 
@@ -63,8 +92,8 @@ def extract_triples(conversations, lexicon_path: str,
         TripleExtractor,
         fn_constructor_kwargs={"lexicon": lexicon_path},
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=(1, cfg.detect_concurrency),
+        batch_size=cfg.extract_batch_size,
+        concurrency=_pool_limits(cfg.detect_concurrency),
     )
 
 
@@ -86,13 +115,11 @@ def distinct_norms(triples_raw):
 
     partials = triples_raw.map_batches(partial, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "norm": group["norm"].slice(0, 1).combine_chunks(),
-            "freq": pa.array([pc.sum(group["freq"]).as_py()], type=pa.int64()),
-        })
+    def merge(block: pa.Table) -> pa.Table:
+        return group_aggregate(block, ["norm"], [("freq", "sum")],
+                               rename={"freq_sum": "freq"})
 
-    return partials.groupby("norm").map_groups(merge, batch_format="pyarrow")
+    return map_key_blocks(partials, ["norm"], merge)
 
 
 def link_norms(norms, catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG,
@@ -103,7 +130,7 @@ def link_norms(norms, catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG,
                                "cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.link_concurrency),
+        concurrency=(1, _pool_max(cfg.link_concurrency)),
     )
 
 
@@ -122,7 +149,8 @@ def canonicalize(catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG):
                             "vec": t["vec"].combine_chunks()}),
         batch_format="pyarrow")
     pairs = candidate_pairs(with_vecs, cfg)
-    labels = connected_components(pairs, max_rounds=cfg.canon_max_rounds)
+    labels = connected_components(pairs, max_rounds=cfg.canon_max_rounds,
+                                  driver_threshold=cfg.canon_driver_threshold)
 
     label_map: dict[str, str] = {}
     for batch in labels.iter_batches(batch_format="pyarrow"):
@@ -191,7 +219,7 @@ def resolve_triples(triples_raw, links, canon_map,
                                "canon_ref": ray.put(canon)},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.link_concurrency),
+        concurrency=(1, _pool_max(cfg.link_concurrency)),
     )
 
 
@@ -233,23 +261,39 @@ def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
 
     partials = triples.map_batches(partial, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        weight = int(pc.sum(group["weight"]).as_py())
-        prov: list[dict] = []
-        for chunk in group["provenance"].to_pylist():
-            prov.extend(chunk)
-        prov = sorted(prov, key=lambda p: (p["conv_id"], p["turn_idx"]))[:cap]
+    def merge(block: pa.Table) -> pa.Table:
+        """Run-boundary reduction over the key-sorted block (arrow has no
+        hash_list kernel for list<struct>): weight sums are one
+        ``np.add.reduceat``; only the tiny capped provenance merge (≤ cap ×
+        #partials dicts per edge) runs in Python."""
+        import numpy as np
+
+        from ..stages.keyblocks import run_starts
+
+        if len(block) == 0:
+            return pa.table({c: [] for c in EDGE_SCHEMA.names},
+                            schema=EDGE_SCHEMA)
+        starts = run_starts(block, ["subj", "pred", "obj"])
+        bounds = np.append(starts, len(block))
+        weight = np.add.reduceat(
+            block["weight"].combine_chunks().to_numpy(), starts)
+        prov_py = block["provenance"].combine_chunks().to_pylist()
+        prov = [
+            sorted((p for row in prov_py[lo:hi] for p in row),
+                   key=lambda p: (p["conv_id"], p["turn_idx"]))[:cap]
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        idx = pa.array(starts, type=pa.int64())
         return pa.table({
-            "subj": group["subj"].slice(0, 1).combine_chunks(),
-            "pred": group["pred"].slice(0, 1).combine_chunks(),
-            "obj": group["obj"].slice(0, 1).combine_chunks(),
-            "weight": pa.array([weight], type=pa.int64()),
-            "provenance": pa.array([prov],
+            "subj": block["subj"].combine_chunks().take(idx),
+            "pred": block["pred"].combine_chunks().take(idx),
+            "obj": block["obj"].combine_chunks().take(idx),
+            "weight": pa.array(weight, type=pa.int64()),
+            "provenance": pa.array(prov,
                                    type=EDGE_SCHEMA.field("provenance").type),
         }, schema=EDGE_SCHEMA)
 
-    return partials.groupby(["subj", "pred", "obj"]).map_groups(
-        merge, batch_format="pyarrow")
+    return map_key_blocks(partials, ["subj", "pred", "obj"], merge)
 
 
 def aggregate_nodes(edges, catalogue_path: str,
@@ -271,14 +315,17 @@ def aggregate_nodes(edges, catalogue_path: str,
 
     partials = edges.map_batches(endpoints, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "node_id": group["node_id"].slice(0, 1).combine_chunks(),
-            "weight": pa.array([pc.sum(group["weight"]).as_py()], type=pa.int64()),
-            "degree": pa.array([pc.sum(group["degree"]).as_py()], type=pa.int64()),
-        })
+    def merge(block: pa.Table) -> pa.Table:
+        out = group_aggregate(block, ["node_id"],
+                              [("weight", "sum"), ("degree", "sum")],
+                              rename={"weight_sum": "weight",
+                                      "degree_sum": "degree"})
+        return out.set_column(out.schema.get_field_index("weight"), "weight",
+                              out["weight"].cast(pa.int64())) \
+                  .set_column(out.schema.get_field_index("degree"), "degree",
+                              out["degree"].cast(pa.int64()))
 
-    nodes = partials.groupby("node_id").map_groups(merge, batch_format="pyarrow")
+    nodes = map_key_blocks(partials, ["node_id"], merge)
 
     import pyarrow.parquet as pq
 

@@ -111,42 +111,56 @@ def find_hot_keys(block_rows, cfg: EngineConfig = DEFAULT_CONFIG) -> set[str]:
     return hot
 
 
-def make_pair_fn(cfg: EngineConfig = DEFAULT_CONFIG):
-    """Per-block candidate pairs: exact pairwise cosine >= canon_tau.
+def make_pairs_block_fn(cfg: EngineConfig = DEFAULT_CONFIG):
+    """Whole-block candidate pairs: exact pairwise cosine >= canon_tau.
 
-    Emits (a, b) with a < b (lexicographic) so cross-band duplicates collapse
-    under a later groupby. Work per block is capped at max_pairs_per_block
-    comparisons (deterministic truncation by row order after sort by id).
+    The block arrives key-partitioned on ``block_key`` (stages/keyblocks.py)
+    and is locally sorted by (block_key, node_id) here — the partition sort
+    must use block_key ONLY, or one LSH block could straddle two Ray blocks.
+    LSH blocks are then contiguous id-ordered runs: a < b falls out of the
+    upper triangle. Work per block is capped at ``max_pairs_per_block``
+    comparisons (deterministic truncation by id order). One Python call per
+    Ray block; per-LSH-block work is pure numpy.
     """
+    from .keyblocks import run_starts
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(group, sort_keys=[("node_id", "ascending")])
-        g = group.take(order)
-        ids = g["node_id"].to_pylist()
-        n = len(ids)
-        if n < 2:
+    def _pairs(block: pa.Table) -> pa.Table:
+        n_rows = len(block)
+        if n_rows < 2:
             return pa.table({c: [] for c in ("a", "b", "score")},
                             schema=PAIR_SCHEMA)
+        block = block.sort_by([("block_key", "ascending"),
+                               ("node_id", "ascending")])
+        ids = np.asarray(block["node_id"].to_pylist(), dtype=object)
         vecs = np.asarray(
-            g["vec"].combine_chunks().flatten().to_numpy().reshape(n, -1),
-            dtype=np.float32)
-        # cap: limit rows so n*(n-1)/2 <= max_pairs_per_block
+            block["vec"].combine_chunks().flatten().to_numpy()
+            .reshape(n_rows, -1), dtype=np.float32)
+        starts = run_starts(block, ["block_key"])
+        bounds = np.concatenate((starts, [n_rows]))
         max_n = int((2 * cfg.max_pairs_per_block) ** 0.5) + 1
-        if n > max_n:
-            ids, vecs, n = ids[:max_n], vecs[:max_n], max_n
-        sims = vecs @ vecs.T
-        ii, jj = np.where(np.triu(sims, k=1) >= cfg.canon_tau)
-        a, b, s = [], [], []
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            x, y = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
-            a.append(x)
-            b.append(y)
-            s.append(float(sims[i, j]))
-        return pa.table({"a": pa.array(a, type=pa.string()),
-                         "b": pa.array(b, type=pa.string()),
-                         "score": pa.array(s, type=pa.float32())})
+        a_out, b_out, s_out = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            n = int(hi - lo)
+            if n < 2:
+                continue
+            if n > max_n:
+                n, hi = max_n, lo + max_n
+            v = vecs[lo:hi]
+            sims = v @ v.T
+            ii, jj = np.where(np.triu(sims, k=1) >= cfg.canon_tau)
+            if len(ii) == 0:
+                continue
+            a_out.append(ids[lo:hi][ii])
+            b_out.append(ids[lo:hi][jj])
+            s_out.append(sims[ii, jj])
+        if not a_out:
+            return pa.table({c: [] for c in ("a", "b", "score")},
+                            schema=PAIR_SCHEMA)
+        return pa.table({
+            "a": pa.array(np.concatenate(a_out), type=pa.string()),
+            "b": pa.array(np.concatenate(b_out), type=pa.string()),
+            "score": pa.array(np.concatenate(s_out), type=pa.float32()),
+        })
 
     return _pairs
 
@@ -156,14 +170,19 @@ def candidate_pairs(with_vecs, cfg: EngineConfig = DEFAULT_CONFIG,
     """(node_id, vec) Dataset → deduped candidate-pair Dataset (a, b, score).
 
     blocks → [frequency pre-pass → salt] → per-block pairwise → dedup.
+    Both shuffles run vectorized whole-block finalizers (keyblocks.py).
     """
+    from .keyblocks import group_aggregate, map_key_blocks
+
     blocks = with_vecs.map_batches(
         lambda t: block_keys_batch(t, cfg=cfg), batch_format="pyarrow")
     if salt:
         hot = find_hot_keys(blocks, cfg)
         blocks = salt_hot_keys(blocks, hot, cfg)
-    pairs = blocks.groupby("block_key").map_groups(
-        make_pair_fn(cfg), batch_format="pyarrow")
-    # cross-band dedup: keep one row per (a, b)
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = map_key_blocks(blocks, ["block_key"], make_pairs_block_fn(cfg))
+    # cross-band dedup: one row per (a, b); score is identical across bands
+    # (same two vectors), so max == the value and stays deterministic.
+    return map_key_blocks(
+        pairs, ["a", "b"],
+        lambda t: group_aggregate(t, ["a", "b"], [("score", "max")],
+                                  rename={"score_max": "score"}))

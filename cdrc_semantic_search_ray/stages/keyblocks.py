@@ -1,0 +1,74 @@
+"""Key-partitioned whole-block processing — the fast path under map_groups.
+
+``GroupedData.map_groups`` co-locates equal keys in one block (sort / hash
+repartition) and then calls the UDF **once per group**, constructing a
+pyarrow slice + format conversion per call. With many small groups (one row
+per conversation / edge / node) the per-group Python dispatch dominates the
+stage. These helpers keep the exact same co-location shuffle but hand the
+UDF the WHOLE sorted block, so group reduction runs as a single vectorized
+``pyarrow.Table.group_by`` / numpy pass per block — one Python call per
+block instead of thousands.
+
+Correctness relies on the same invariant map_groups itself relies on
+(ray/data/grouped_data.py: "batch_size=None ... guaranteeing that groups
+are contained in full"): after ``Dataset.sort(keys)``, all rows with equal
+key values live in exactly one block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def map_key_blocks(ds, keys: list[str], fn, **map_opts):
+    """Shuffle by ``keys`` then apply ``fn`` to each whole, key-sorted block.
+
+    ``fn: pa.Table -> pa.Table`` sees every row of every key it sees (no
+    group straddles a block), with rows sorted by ``keys`` ascending.
+    """
+    return ds.sort(keys).map_batches(
+        fn, batch_size=None, batch_format="pyarrow", **map_opts)
+
+
+def run_starts(block: pa.Table, keys: list[str]) -> np.ndarray:
+    """Start offsets of each key run in a block sorted by ``keys``.
+
+    Returns int64 array of run starts (first element 0). Vectorized:
+    adjacent-row inequality OR-ed across key columns.
+    """
+    n = len(block)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    neq = None
+    for k in keys:
+        col = block[k].combine_chunks()
+        d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        neq = d if neq is None else pc.or_(neq, d)
+    changed = neq.to_numpy(zero_copy_only=False)
+    return np.concatenate(([0], np.flatnonzero(changed) + 1))
+
+
+def group_aggregate(block: pa.Table, keys: list[str],
+                    aggs: list[tuple[str, str]],
+                    rename: dict[str, str] | None = None) -> pa.Table:
+    """Vectorized per-block finalize: ``Table.group_by(keys).aggregate(aggs)``
+    with optional output-column renaming (arrow suffixes ``_sum``/``_min``/…).
+    """
+    out = block.group_by(keys).aggregate(aggs)
+    if rename:
+        out = out.rename_columns(
+            [rename.get(c, c) for c in out.column_names])
+    return out
+
+
+def distinct_by(ds, keys: list[str]):
+    """Distinct rows by ``keys`` (keeps key columns only) — hash-partition +
+    per-block ``unique``; the Ray-Data shape of the reference's Python-set
+    dedup (/root/reference/src/query_api.py:51-52, SURVEY.md R7)."""
+
+    def _uniq(block: pa.Table) -> pa.Table:
+        return block.group_by(keys).aggregate([])
+
+    return map_key_blocks(ds.select_columns(keys), keys, _uniq)

@@ -14,29 +14,51 @@ unlike the LSH block keys in stages/blocking.py.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .keyblocks import run_starts
 
 TURN_COLS = ("turn_idx", "role", "text", "tool", "ts")
 
 
-def _conv_to_row(group: pa.Table) -> pa.Table:
-    cols = [c for c in TURN_COLS if c in group.column_names]
-    order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
-    g = group.take(order)
+def _block_to_convs(block: pa.Table) -> pa.Table:
+    """Whole block (sorted by conv_id, turn_idx) → one row per conversation.
+
+    Vectorized: conversation boundaries come from adjacent-row inequality on
+    ``conv_id``; the turn struct-list is built once over the full block via
+    list offsets — no per-group Python dispatch (see stages/keyblocks.py).
+    """
+    # Local (vectorized) secondary order: the Dataset-level shuffle sorts by
+    # conv_id ONLY — sorting by (conv_id, turn_idx) at the Dataset level
+    # would let one conversation straddle two blocks, since the whole-group
+    # guarantee covers rows equal in ALL sort keys.
+    block = block.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    cols = [c for c in TURN_COLS if c in block.column_names]
+    n = len(block)
     struct = pa.StructArray.from_arrays(
-        [g[c].combine_chunks() for c in cols], names=cols
+        [block[c].combine_chunks() for c in cols], names=cols
     )
+    if n == 0:
+        empty = pa.ListArray.from_arrays(pa.array([0], type=pa.int32()), struct)
+        return pa.table({
+            "conv_id": pa.array([], type=pa.string()),
+            "n_turns": pa.array([], type=pa.int32()),
+            "turns": empty,
+        })
+    starts = run_starts(block, ["conv_id"])
+    offsets = np.concatenate((starts, [n]))
     turns = pa.ListArray.from_arrays(
-        pa.array([0, len(g)], type=pa.int32()), struct
+        pa.array(offsets, type=pa.int32()), struct
     )
-    return pa.table(
-        {
-            "conv_id": pa.array([g["conv_id"][0].as_py()], type=pa.string()),
-            "n_turns": pa.array([len(g)], type=pa.int32()),
-            "turns": turns,
-        }
-    )
+    conv_ids = block["conv_id"].combine_chunks().take(
+        pa.array(starts, type=pa.int64()))
+    return pa.table({
+        "conv_id": conv_ids,
+        "n_turns": pa.array(np.diff(offsets).astype(np.int32)),
+        "turns": turns,
+    })
 
 
 def reassemble(transcripts) -> "ray.data.Dataset":  # noqa: F821
@@ -45,9 +67,13 @@ def reassemble(transcripts) -> "ray.data.Dataset":  # noqa: F821
     Output schema: ``conv_id:string, n_turns:int32,
     turns:list<struct<...present turn columns...>>`` with turns sorted by
     ``turn_idx`` ascending. One row per conversation.
+
+    Physical plan: one range shuffle — ``sort(conv_id)`` co-locates every
+    conversation (same co-location guarantee map_groups uses) — then a
+    single vectorized local-sort + nesting pass per block.
     """
-    return transcripts.groupby("conv_id").map_groups(
-        _conv_to_row, batch_format="pyarrow"
+    return transcripts.sort("conv_id").map_batches(
+        _block_to_convs, batch_size=None, batch_format="pyarrow"
     )
 
 

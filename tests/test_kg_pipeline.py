@@ -103,3 +103,36 @@ def test_partition_count_invariance(ray_session, tmp_path):
     sa = _triple_set(run_kg(a)["triples"])
     sb = _triple_set(run_kg(b)["triples"])
     assert sa == sb and sa
+
+
+def test_distributed_components_match_driver_path():
+    """The distributed min-label propagation (driver_threshold=0) and the
+    driver-side union-find fast path must produce identical labels."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from cdrc_semantic_search_ray.pipelines.components import (
+        connected_components,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        # two chained components {a,b,c,d} and {x,y}, plus duplicate edges
+        "a": ["n:b", "n:a", "n:c", "n:x", "n:b"],
+        "b": ["n:c", "n:b", "n:d", "n:y", "n:c"],
+        "score": [1.0, 1.0, 1.0, 1.0, 1.0],
+    }))
+
+    def to_map(labels):
+        out = {}
+        for b in labels.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b["node"].to_pylist(), b["label"].to_pylist()))
+        return out
+
+    dist = to_map(connected_components(edges, driver_threshold=0))
+    fast = to_map(connected_components(edges, driver_threshold=10**6))
+    expect = {"n:b": "n:a", "n:c": "n:a", "n:d": "n:a", "n:y": "n:x"}
+    # distributed path also emits root self-labels; fast path defaults them
+    for k, v in expect.items():
+        assert dist[k] == v and fast[k] == v
+    for k, v in dist.items():
+        assert fast.get(k, k) == v
