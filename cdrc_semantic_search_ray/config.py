@@ -34,9 +34,18 @@ class EngineConfig:
     canon_driver_threshold: int = 2_000_000  # pair sets <= this collapse on
     #                                the driver (SURVEY.md §7.4 residual
     #                                collapse); larger run distributed rounds
+    canon_driver_entities: int = 100_000  # catalogues <= this canonicalize
+    #                                entirely on the driver (same blocking/
+    #                                pair/UF code, zero Ray jobs)
     provenance_cap: int = 8        # provenance samples kept per edge
 
     # ---- execution sizing --------------------------------------------------
+    use_actor_pools: bool = False  # True = model stages run as actor pools
+    #                                (the GPU/expensive-state shape per the
+    #                                north star); False = task map_batches
+    #                                with per-worker lru caches — identical
+    #                                semantics, no pool-spawn latency for the
+    #                                cheap deterministic sandbox stand-ins
     batch_size: int = 1024         # rows per batch for actor-pool stages
     extract_batch_size: int = 256  # conversations per batch (≈8 turns each);
     #                                smaller batches → enough batches to feed

@@ -35,9 +35,23 @@ def _pair_table(rows: dict[str, list], extra: list[tuple[str, object]]) -> pa.Ta
 
 
 def _dedup_pairs(pairs):
-    """Collapse duplicate (a, b) rows produced by multiple blocks."""
-    return pairs.groupby(["doc_id_a", "doc_id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    """Collapse duplicate (a, b) rows produced by multiple blocks.
+
+    Whole-block first-row-per-key (rows for the same pair are identical —
+    same sketches ⇒ same score — so "first" is deterministic)."""
+    import numpy as np
+
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def first(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return block
+        b = block.sort_by([("doc_id_a", "ascending"),
+                           ("doc_id_b", "ascending")])
+        starts = run_starts(b, ["doc_id_a", "doc_id_b"])
+        return b.take(pa.array(starts, type=pa.int64()))
+
+    return map_key_blocks(pairs, ["doc_id_a", "doc_id_b"], first)
 
 
 # ---------------------------------------------------------------------------
@@ -66,20 +80,29 @@ def exact_dedup(docs):
     partials = docs.map_batches(digest, batch_format="pyarrow").map_batches(
         partial, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pa.array([pc.min(group["doc_id"]).as_py()], pa.int64()),
-            "n_copies": pa.array([pc.sum(group["n_copies"]).as_py()], pa.int64()),
-        })
+    from ..stages.keyblocks import group_aggregate, map_key_blocks
 
-    return partials.groupby("h").map_groups(merge, batch_format="pyarrow")
+    def merge(block: pa.Table) -> pa.Table:
+        g = group_aggregate(block, ["h"],
+                            [("doc_id", "min"), ("n_copies", "sum")],
+                            rename={"doc_id_min": "doc_id",
+                                    "n_copies_sum": "n_copies"})
+        return pa.table({"doc_id": g["doc_id"].combine_chunks(),
+                         "n_copies": g["n_copies"].combine_chunks()
+                         .cast(pa.int64())})
+
+    return map_key_blocks(partials, ["h"], merge)
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 class MinHashSketcher:
-    """Actor: minhash permutation params built once, signatures per batch."""
+    """Minhash permutation params built once, signatures per batch.
+
+    Usable as an actor class OR via :func:`minhash_sketch_batch` (task path
+    with a per-worker cache) — the same state-loading seam as the KG model
+    stages (stages/annotate.py)."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
                  shingle_k: int = 5, seed: int = 42):
@@ -104,6 +127,18 @@ class MinHashSketcher:
         })
 
 
+_SKETCHERS: dict = {}
+
+
+def minhash_sketch_batch(batch: pa.Table, *, num_perm: int, bands: int,
+                         shingle_k: int, seed: int = 42) -> pa.Table:
+    key = (num_perm, bands, shingle_k, seed)
+    s = _SKETCHERS.get(key)
+    if s is None:
+        s = _SKETCHERS[key] = MinHashSketcher(num_perm, bands, shingle_k, seed)
+    return s(batch)
+
+
 def minhash_lsh_dedup(docs, num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, tau: float = 0.5,
                       max_block: int = 256):
@@ -113,32 +148,45 @@ def minhash_lsh_dedup(docs, num_perm: int = 64, bands: int = 16,
     Returns (doc_id_a, doc_id_b, est_jaccard). Signature-based verification
     keeps the verify stage shuffle-free (signatures ride along with the
     block rows); an exact-text verify would broadcast or re-join texts.
+    The verify pass is a single vectorized (n, n, perm) equality per LSH
+    block over the whole key-partitioned Ray block.
     """
-    blocks = docs.map_batches(
-        MinHashSketcher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=(1, 4))
+    from ..stages.keyblocks import map_key_blocks, run_starts
 
-    def pairs(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        g = group.take(idx.slice(0, max_block))
-        ids = g["doc_id"].to_pylist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"].to_pylist()]
+    blocks = docs.map_batches(
+        minhash_sketch_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands,
+                   "shingle_k": shingle_k},
+        batch_format="pyarrow")
+
+    def pairs(block: pa.Table) -> pa.Table:
         out = {"doc_id_a": [], "doc_id_b": [], "est_jaccard": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= tau:
-                    a, b = sorted((ids[i], ids[j]))
-                    out["doc_id_a"].append(a)
-                    out["doc_id_b"].append(b)
-                    out["est_jaccard"].append(round(est, 6))
+        if len(block) == 0:
+            return _pair_table(out, [("est_jaccard", pa.float64())])
+        b = block.sort_by([("block_key", "ascending"),
+                           ("doc_id", "ascending")])
+        ids_all = b["doc_id"].to_numpy()
+        sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint64)
+                             for s in b["sig"].to_pylist()])
+        bounds = np.append(run_starts(b, ["block_key"]), len(b))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            n = min(int(hi - lo), max_block)
+            if n < 2:
+                continue
+            ids = ids_all[lo:lo + n]
+            S = sig_mat[lo:lo + n]
+            est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            ii, jj = np.where(np.triu(est, k=1) >= tau)
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+            a = np.minimum(ids[ii], ids[jj])
+            bb = np.maximum(ids[ii], ids[jj])
+            out["doc_id_a"].extend(a.tolist())
+            out["doc_id_b"].extend(bb.tolist())
+            out["est_jaccard"].extend(np.round(est[ii, jj], 6).tolist())
         return _pair_table(out, [("est_jaccard", pa.float64())])
 
-    cand = blocks.groupby("block_key").map_groups(pairs, batch_format="pyarrow")
+    cand = map_key_blocks(blocks, ["block_key"], pairs)
     return _dedup_pairs(cand)
 
 
@@ -171,25 +219,36 @@ def simhash_dedup(docs, max_hamming: int = 6, chunks: int = 4,
 
     blocks = docs.map_batches(sketch, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        g = group.take(idx.slice(0, max_block))
-        ids = g["doc_id"].to_pylist()
-        hs = g["h"].to_pylist()
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def pairs(block: pa.Table) -> pa.Table:
         out = {"doc_id_a": [], "doc_id_b": [], "hamming": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = H.hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out["doc_id_a"].append(a)
-                    out["doc_id_b"].append(b)
-                    out["hamming"].append(d)
+        if len(block) == 0:
+            return _pair_table(out, [("hamming", pa.int64())])
+        b = block.sort_by([("block_key", "ascending"),
+                           ("doc_id", "ascending")])
+        ids_all = b["doc_id"].to_numpy()
+        hs_all = b["h"].to_numpy()
+        bounds = np.append(run_starts(b, ["block_key"]), len(b))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            n = min(int(hi - lo), max_block)
+            if n < 2:
+                continue
+            ids = ids_all[lo:lo + n]
+            hs = hs_all[lo:lo + n]
+            # vectorized pairwise hamming: XOR then popcount via uint8 view
+            x = np.bitwise_xor.outer(hs, hs)
+            d = np.unpackbits(x.view(np.uint8).reshape(n, n, 8),
+                              axis=2).sum(axis=2)
+            ii, jj = np.where(np.triu(d <= max_hamming, k=1))
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+            out["doc_id_a"].extend(np.minimum(ids[ii], ids[jj]).tolist())
+            out["doc_id_b"].extend(np.maximum(ids[ii], ids[jj]).tolist())
+            out["hamming"].extend(d[ii, jj].tolist())
         return _pair_table(out, [("hamming", pa.int64())])
 
-    cand = blocks.groupby("block_key").map_groups(pairs, batch_format="pyarrow")
+    cand = map_key_blocks(blocks, ["block_key"], pairs)
     return _dedup_pairs(cand)
 
 
@@ -226,26 +285,37 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
 
     blocks = docs.map_batches(sketch, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
-        g = group.take(idx.slice(0, max_block))
-        ids = g["doc_id"].to_pylist()
-        gsets = [set(np.frombuffer(b, dtype=np.int64).tolist())
-                 for b in g["grams"].to_pylist()]
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def pairs(block: pa.Table) -> pa.Table:
         out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                jac = H.jaccard(gsets[i], gsets[j])
-                if jac >= tau:
-                    a, b = sorted((ids[i], ids[j]))
-                    out["doc_id_a"].append(a)
-                    out["doc_id_b"].append(b)
-                    out["jaccard"].append(round(jac, 6))
+        if len(block) == 0:
+            return _pair_table(out, [("jaccard", pa.float64())])
+        b = block.sort_by([("block_key", "ascending"),
+                           ("doc_id", "ascending")])
+        ids_all = b["doc_id"].to_numpy()
+        grams_all = b["grams"].to_pylist()
+        bounds = np.append(run_starts(b, ["block_key"]), len(b))
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            n = min(int(hi - lo), max_block)
+            if n < 2:
+                continue
+            ids = ids_all[lo:lo + n]
+            gsets = [set(np.frombuffer(g, dtype=np.int64).tolist())
+                     for g in grams_all[lo:lo + n]]
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if ids[i] == ids[j]:
+                        continue
+                    jac = H.jaccard(gsets[i], gsets[j])
+                    if jac >= tau:
+                        a, bb = sorted((int(ids[i]), int(ids[j])))
+                        out["doc_id_a"].append(a)
+                        out["doc_id_b"].append(bb)
+                        out["jaccard"].append(round(jac, 6))
         return _pair_table(out, [("jaccard", pa.float64())])
 
-    cand = blocks.groupby("block_key").map_groups(pairs, batch_format="pyarrow")
+    cand = map_key_blocks(blocks, ["block_key"], pairs)
     return _dedup_pairs(cand)
 
 

@@ -74,26 +74,45 @@ def build_conversations(corpus_dir: str | Path, columns=None):
 
 def extract_mentions(conversations, lexicon_path: str,
                      cfg: EngineConfig = DEFAULT_CONFIG):
-    # High-floor autoscaling pool (see _pool_limits): this is the dominant
-    # compute stage; a cold pool's ramp-up leaves most of the cluster idle
-    # for the first half of the stage.
+    """Mention detection (P4). Default: task-based ``map_batches`` with a
+    per-worker cached matcher — warm Ray workers, no pool-spawn latency.
+    ``cfg.use_actor_pools=True`` switches to the actor-pool seam (the right
+    shape when the detector is an expensive GPU model; see stages/annotate)."""
+    from ..stages.annotate import detect_mentions_batch
+
+    if cfg.use_actor_pools:
+        return conversations.map_batches(
+            MentionDetector,
+            fn_constructor_kwargs={"lexicon": lexicon_path},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=_pool_limits(cfg.detect_concurrency),
+        )
     return conversations.map_batches(
-        MentionDetector,
-        fn_constructor_kwargs={"lexicon": lexicon_path},
+        detect_mentions_batch,
+        fn_kwargs={"lexicon": lexicon_path},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=_pool_limits(cfg.detect_concurrency),
     )
 
 
 def extract_triples(conversations, lexicon_path: str,
                     cfg: EngineConfig = DEFAULT_CONFIG):
+    from ..stages.annotate import extract_triples_batch
+
+    if cfg.use_actor_pools:
+        return conversations.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"lexicon": lexicon_path},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=_pool_limits(cfg.detect_concurrency),
+        )
     return conversations.map_batches(
-        TripleExtractor,
-        fn_constructor_kwargs={"lexicon": lexicon_path},
+        extract_triples_batch,
+        fn_kwargs={"lexicon": lexicon_path},
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
-        concurrency=_pool_limits(cfg.detect_concurrency),
     )
 
 
@@ -124,24 +143,106 @@ def distinct_norms(triples_raw):
 
 def link_norms(norms, catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG,
                top_k: int = 1):
+    if cfg.use_actor_pools:
+        return norms.map_batches(
+            Linker,
+            fn_constructor_kwargs={"catalogue": catalogue_path,
+                                   "top_k": top_k, "cfg": cfg},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, _pool_max(cfg.link_concurrency)),
+        )
+    from ..stages.linker import link_batch
+
     return norms.map_batches(
-        Linker,
-        fn_constructor_kwargs={"catalogue": catalogue_path, "top_k": top_k,
-                               "cfg": cfg},
+        link_batch,
+        fn_kwargs={"catalogue": catalogue_path, "top_k": top_k, "cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, _pool_max(cfg.link_concurrency)),
     )
+
+
+def _catalogue_num_rows(catalogue_path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(catalogue_path).metadata.num_rows
+
+
+def _canonicalize_local(catalogue_path: str, cfg: EngineConfig):
+    """Small-catalogue fast path: the SAME blocking → pairs → union-find
+    logic, run once on the driver (pure pyarrow/numpy, zero Ray jobs).
+
+    Reuses the identical batch functions the distributed path maps over
+    blocks (block_keys_batch / make_pairs_block_fn), so pair sets — and
+    therefore canon labels — are byte-identical to the distributed result.
+    The distributed path (below) is the scale path; ~8 sequential Ray jobs
+    over a few-thousand-row catalogue are pure fixed overhead.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.blocking import block_keys_batch, make_pairs_block_fn
+
+    cat = pq.read_table(catalogue_path, columns=["entity_id", "vec"])
+    blocks = block_keys_batch(
+        pa.table({"node_id": cat["entity_id"], "vec": cat["vec"]}), cfg=cfg)
+    # hot-key salting: same threshold semantics as blocking.find_hot_keys
+    counts = blocks.group_by("block_key").aggregate([("block_key", "count")])
+    hot = set(counts.filter(
+        pc.greater(counts["block_key_count"], cfg.salt_threshold)
+    )["block_key"].to_pylist())
+    if hot:
+        import zlib
+
+        keys = blocks["block_key"].to_pylist()
+        ids = blocks["node_id"].to_pylist()
+        salted = [
+            f"{k}#{zlib.crc32(i.encode()) % cfg.salt_factor}" if k in hot else k
+            for k, i in zip(keys, ids)
+        ]
+        blocks = blocks.set_column(
+            blocks.schema.get_field_index("block_key"), "block_key",
+            pa.array(salted, type=pa.string()))
+    pairs = make_pairs_block_fn(cfg)(blocks.sort_by("block_key"))
+    pairs = pairs.group_by(["a", "b"]).aggregate([("score", "max")])
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    ids = cat["entity_id"].to_pylist()
+    return rd.from_arrow(pa.table({
+        "entity_key": pa.array(ids, type=pa.string()),
+        "canonical_id": pa.array([find(e) for e in ids], type=pa.string()),
+    }))
 
 
 def canonicalize(catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG):
     """catalogue → canon_map Dataset (entity_key, canonical_id).
 
     LSH blocking over entity embeddings → per-block exact cosine pairs →
-    distributed connected components; entities in no component map to
-    themselves.
+    connected components; entities in no component map to themselves.
+    Catalogues at or below ``canon_driver_entities`` rows run entirely on
+    the driver (identical semantics, no per-job overhead); larger ones run
+    the distributed blocking + label propagation.
     """
     import ray.data as rd
+
+    if (cfg.canon_driver_entities
+            and _catalogue_num_rows(catalogue_path) <= cfg.canon_driver_entities):
+        return _canonicalize_local(catalogue_path, cfg)
 
     cat = rd.read_parquet(catalogue_path, columns=["entity_id", "vec"])
     with_vecs = cat.map_batches(
@@ -199,11 +300,28 @@ class Resolver:
         })
 
 
+def resolve_batch(batch: pa.Table, *, links: dict, canon: dict) -> pa.Table:
+    """Task-path resolver: the broadcast maps travel as fn_kwargs — Ray
+    puts them in the object store ONCE and every task reads the same copy."""
+
+    def _resolve(n: str) -> str:
+        e = links.get(n, f"unk:{n}")
+        return canon.get(e, e)
+
+    return pa.table({
+        "conv_id": batch["conv_id"].combine_chunks(),
+        "turn_idx": batch["turn_idx"].combine_chunks(),
+        "subj": pa.array([_resolve(n) for n in batch["subj_norm"].to_pylist()],
+                         type=pa.string()),
+        "pred": batch["pred"].combine_chunks(),
+        "obj": pa.array([_resolve(n) for n in batch["obj_norm"].to_pylist()],
+                        type=pa.string()),
+    })
+
+
 def resolve_triples(triples_raw, links, canon_map,
                     cfg: EngineConfig = DEFAULT_CONFIG):
     """Join triples to the (small) link + canon maps via broadcast."""
-    import ray
-
     link_map: dict[str, str] = {}
     for batch in links.iter_batches(batch_format="pyarrow"):
         link_map.update(zip(batch["norm"].to_pylist(),
@@ -213,14 +331,89 @@ def resolve_triples(triples_raw, links, canon_map,
         canon.update(zip(batch["entity_key"].to_pylist(),
                          batch["canonical_id"].to_pylist()))
 
+    if cfg.use_actor_pools:
+        import ray
+
+        return triples_raw.map_batches(
+            Resolver,
+            fn_constructor_kwargs={"links_ref": ray.put(link_map),
+                                   "canon_ref": ray.put(canon)},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=(1, _pool_max(cfg.link_concurrency)),
+        )
     return triples_raw.map_batches(
-        Resolver,
-        fn_constructor_kwargs={"links_ref": ray.put(link_map),
-                               "canon_ref": ray.put(canon)},
+        resolve_batch,
+        fn_kwargs={"links": link_map, "canon": canon},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, _pool_max(cfg.link_concurrency)),
     )
+
+
+def _canon_map_dict(catalogue_path: str, cfg: EngineConfig) -> dict[str, str]:
+    canon: dict[str, str] = {}
+    for batch in canonicalize(catalogue_path, cfg).iter_batches(
+            batch_format="pyarrow"):
+        canon.update(zip(batch["entity_key"].to_pylist(),
+                         batch["canonical_id"].to_pylist()))
+    return {k: v for k, v in canon.items() if k != v}
+
+
+class _InlineResolver:
+    """Per-worker-process norm → canonical-entity resolver with memo.
+
+    Same link semantics as stages/linker.py (exact alias fast path, then
+    embedding-cosine top-1 at ``link_tau``), composed with the canon map.
+    Cached per (catalogue, cfg) so warm workers pay index build once."""
+
+    def __init__(self, catalogue: str, canon: dict[str, str],
+                 cfg: EngineConfig):
+        from ..stages.linker import _cached_index
+
+        self.exact, self.ids, self.mat = _cached_index(catalogue)
+        self.canon = canon
+        self.cfg = cfg
+        self.memo: dict[str, str] = {}
+
+    def resolve_many(self, norms: list[str]) -> list[str]:
+        """Vectorized: one embed + one matmul for ALL unmemoized,
+        non-exact norms in the call (then memoized per worker)."""
+        memo, exact, canon = self.memo, self.exact, self.canon
+        pending: list[str] = []
+        seen: set[str] = set()
+        for n in norms:
+            if n not in memo:
+                eid = exact.get(n)
+                if eid is not None:
+                    memo[n] = canon.get(eid, eid)
+                elif n not in seen:
+                    seen.add(n)
+                    pending.append(n)
+        if pending:
+            from ..functions.embed import cosine_topk, embed_texts
+
+            q = embed_texts(pending, dim=self.cfg.embed_dim,
+                            seed=self.cfg.embed_seed)
+            idx, score = cosine_topk(q, self.mat, 1)
+            for i, n in enumerate(pending):
+                if float(score[i, 0]) >= self.cfg.link_tau:
+                    eid = self.ids[int(idx[i, 0])]
+                else:
+                    eid = f"unk:{n}"
+                memo[n] = canon.get(eid, eid)
+        return [memo[n] for n in norms]
+
+
+_INLINE_RESOLVERS: dict = {}
+
+
+def _inline_resolver(catalogue: str, canon_items: tuple, cfg: EngineConfig):
+    key = (catalogue, cfg)
+    r = _INLINE_RESOLVERS.get(key)
+    if r is None:
+        r = _INLINE_RESOLVERS[key] = _InlineResolver(
+            catalogue, dict(canon_items), cfg)
+    return r
 
 
 EDGE_SCHEMA = pa.schema([
@@ -260,7 +453,11 @@ def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
         })
 
     partials = triples.map_batches(partial, batch_format="pyarrow")
+    return map_key_blocks(partials, ["subj", "pred", "obj"],
+                          _edge_merge_fn(cap))
 
+
+def _edge_merge_fn(cap: int):
     def merge(block: pa.Table) -> pa.Table:
         """Run-boundary reduction over the key-sorted block (arrow has no
         hash_list kernel for list<struct>): weight sums are one
@@ -293,7 +490,75 @@ def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
                                    type=EDGE_SCHEMA.field("provenance").type),
         }, schema=EDGE_SCHEMA)
 
-    return map_key_blocks(partials, ["subj", "pred", "obj"], merge)
+    return merge
+
+
+def edges_from_raw(triples_raw, catalogue_path: str,
+                   canon: dict[str, str], cfg: EngineConfig = DEFAULT_CONFIG):
+    """Fused resolve + edge aggregation over RAW norm-level triples.
+
+    Per batch: partial-aggregate by the norm triple (combiner pattern),
+    then resolve only the DISTINCT keys through the per-worker cached
+    inline linker — instead of a separate full-dataset resolve pass plus
+    the distinct-norms/link jobs and a driver-side map collection. Same
+    (subj, pred, obj, weight) result as resolve_triples → aggregate_edges
+    (provenance sampling may differ at the cap — both are capped samples).
+    """
+    cap = cfg.provenance_cap
+    canon_items = tuple(sorted(canon.items()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["subj_norm", "pred", "obj_norm"]).aggregate(
+            [("conv_id", "list"), ("turn_idx", "list")])
+        r = _inline_resolver(catalogue_path, canon_items, cfg)
+        subj = r.resolve_many(agg["subj_norm"].to_pylist())
+        obj = r.resolve_many(agg["obj_norm"].to_pylist())
+        convs = agg["conv_id_list"].to_pylist()
+        turns = agg["turn_idx_list"].to_pylist()
+        prov = [
+            [{"conv_id": c, "turn_idx": t}
+             for c, t in sorted(zip(cs, ts))[:cap]]
+            for cs, ts in zip(convs, turns)
+        ]
+        return pa.table({
+            "subj": pa.array(subj, type=pa.string()),
+            "pred": agg["pred"].combine_chunks(),
+            "obj": pa.array(obj, type=pa.string()),
+            "weight": pa.array([len(c) for c in convs], type=pa.int64()),
+            "provenance": pa.array(prov,
+                                   type=EDGE_SCHEMA.field("provenance").type),
+        }, schema=EDGE_SCHEMA)
+
+    partials = triples_raw.map_batches(partial, batch_format="pyarrow")
+    return map_key_blocks(partials, ["subj", "pred", "obj"],
+                          _edge_merge_fn(cap))
+
+
+def build_graph(corpus_dir: str | Path, cfg: EngineConfig = DEFAULT_CONFIG,
+                out_dir: str | Path | None = None):
+    """Production transcript → graph path (the bench headline).
+
+    read → reassemble → extract → [canonicalize catalogue] → fused
+    resolve+edge aggregation → nodes → partitioned writes. Returns
+    (edges, nodes) as materialized/lazy Datasets.
+    """
+    corpus = Path(corpus_dir)
+    lexicon = str(corpus / "lexicon.parquet")
+    catalogue = str(corpus / "catalogue.parquet")
+
+    conversations = build_conversations(corpus)
+    # Materialize extraction as its own job: at small cluster widths the
+    # streaming executor splits CPUs among all live operators, and fusing
+    # extraction with the edge shuffle starved it (measured 2.9 effective
+    # CPUs of 8). Two jobs each get the full cluster.
+    triples_raw = extract_triples(conversations, lexicon, cfg).materialize()
+    canon = _canon_map_dict(catalogue, cfg)
+    edges = edges_from_raw(triples_raw, catalogue, canon, cfg).materialize()
+    nodes = aggregate_nodes(edges, catalogue, cfg)
+    if out_dir is not None:
+        edges.write_parquet(str(Path(out_dir) / "edges"))
+        nodes.write_parquet(str(Path(out_dir) / "nodes"))
+    return edges, nodes
 
 
 def aggregate_nodes(edges, catalogue_path: str,

@@ -145,19 +145,24 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     out_cols = [c for c in all_cols]
 
-    def join_bucket(group: pa.Table) -> pa.Table:
-        side = group[_SIDE_COL]
+    def join_block(block: pa.Table) -> pa.Table:
+        """One vectorized Acero join per BLOCK: equal keys share a bucket
+        and all rows of a bucket share a block (keyblocks co-location), so
+        joining the whole block at once equals the per-bucket join union —
+        without a Python call per bucket."""
+        side = block[_SIDE_COL]
         lmask = pc.equal(side, 0)
-        lt = group.filter(lmask).select(lcols)
-        rt = group.filter(pc.invert(lmask)).select(rcols)
+        lt = block.filter(lmask).select(lcols)
+        rt = block.filter(pc.invert(lmask)).select(rcols)
         joined = lt.join(rt, keys=[left_key], right_keys=[right_key],
                          join_type=join_type)
         # Acero may reorder; normalize column order
         want = [c for c in out_cols if c in joined.column_names]
         return joined.select(want)
 
-    return tagged.groupby(_BUCKET_COL).map_groups(
-        join_bucket, batch_format="pyarrow")
+    from ..stages.keyblocks import map_key_blocks
+
+    return map_key_blocks(tagged, [_BUCKET_COL], join_block)
 
 
 # ---------------------------------------------------------------------------
@@ -188,14 +193,15 @@ def partial_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     merge_op = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
-    def merge(group: pa.Table) -> pa.Table:
-        cols = {k: group[k].slice(0, 1).combine_chunks() for k in keys}
-        for _, op, out in aggs:
-            f = getattr(pc, merge_op[op])
-            cols[out] = pa.array([f(group[out]).as_py()])
-        return pa.table(cols)
+    from ..stages.keyblocks import group_aggregate, map_key_blocks
 
-    return partials.groupby(keys).map_groups(merge, batch_format="pyarrow")
+    def merge(block: pa.Table) -> pa.Table:
+        spec = [(out, merge_op[op]) for _, op, out in aggs]
+        rename = {f"{out}_{merge_op[op]}": out for _, op, out in aggs}
+        g = group_aggregate(block, keys, spec, rename=rename)
+        return g.select(keys + [out for _, _, out in aggs])
+
+    return map_key_blocks(partials, keys, merge)
 
 
 def sort_limit(ds, sort_keys: list[tuple[str, str]], n: int):
@@ -206,20 +212,33 @@ def sort_limit(ds, sort_keys: list[tuple[str, str]], n: int):
 
 
 def distinct(ds, keys: list[str]):
-    """Exact distinct on key columns: hash-partition + per-group first
+    """Exact distinct on key columns: key-partition + per-block unique
     (SURVEY.md R7 generalized)."""
-    return ds.select_columns(keys).groupby(keys).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    from ..stages.keyblocks import distinct_by
+
+    return distinct_by(ds, keys)
 
 
 def topk_per_group(ds, group_keys: list[str], sort_keys: list[tuple[str, str]],
                    k: int):
-    """Per-group top-k with deterministic tie-breaks (SURVEY.md R2 shape)."""
+    """Per-group top-k with deterministic tie-breaks (SURVEY.md R2 shape).
 
-    def _top(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=sort_keys)
-        out = group.take(idx.slice(0, k))
-        return out.append_column(
-            "rn", pa.array(range(1, len(out) + 1), type=pa.int64()))
+    Whole-block vectorized: local sort by (group_keys, sort_keys), run
+    boundaries, rank = offset within run, filter rank <= k."""
+    import numpy as np
 
-    return ds.groupby(group_keys).map_groups(_top, batch_format="pyarrow")
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def _top(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return block.append_column("rn", pa.array([], type=pa.int64()))
+        b = block.sort_by([(g, "ascending") for g in group_keys]
+                          + list(sort_keys))
+        starts = run_starts(b, group_keys)
+        sizes = np.diff(np.append(starts, n))
+        rn = np.arange(n) - np.repeat(starts, sizes) + 1
+        b = b.append_column("rn", pa.array(rn, type=pa.int64()))
+        return b.filter(pa.array(rn <= k))
+
+    return map_key_blocks(ds, group_keys, _top)

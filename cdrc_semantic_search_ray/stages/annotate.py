@@ -1,11 +1,22 @@
-"""Mention detection + triple extraction as actor-pool ``map_batches`` stages.
+"""Mention detection + triple extraction ``map_batches`` stages.
 
 Same operator shape as the reference's model stages (batched embedding /
-NER-shaped inference: load-once state in ``__init__``, batched work in
-``__call__`` — /root/reference/src/datastore.py:116-120, SURVEY.md C2/P4/P5):
-the gazetteer automaton is compiled ONCE per actor, then applied to batches of
-whole conversations. Swapping the rule-based matcher for a spaCy/transformer
-NER is a one-class change (documented seam, SURVEY.md §7.4).
+NER-shaped inference: load-once state, batched work —
+/root/reference/src/datastore.py:116-120, SURVEY.md C2/P4/P5): the gazetteer
+automaton is compiled ONCE per worker, then applied to batches of whole
+conversations.
+
+Two execution paths, same semantics:
+
+- ``MentionDetector`` / ``TripleExtractor`` classes — the actor-pool seam
+  for EXPENSIVE state (a spaCy/transformer model on GPUs per the north
+  star): state in ``__init__``, pass the class to ``map_batches(Cls,
+  concurrency=(m, n), num_gpus=g)``. One-class swap (SURVEY.md §7.4).
+- ``detect_mentions_batch`` / ``extract_triples_batch`` functions — the
+  default sandbox path: plain tasks with a per-worker-process ``lru_cache``
+  on the matcher. The deterministic stand-in loads in milliseconds, and
+  task-based stages reuse Ray's warm workers instead of paying a fresh
+  actor-pool spawn (~2-4s) at every stage start.
 
 Input batches are ``conversations`` rows (conv_id, n_turns,
 turns:list<struct>), produced by stages/reassemble.py — extraction consumes
@@ -15,6 +26,8 @@ independent of batch/partition boundaries.
 """
 
 from __future__ import annotations
+
+import functools
 
 import pyarrow as pa
 
@@ -70,44 +83,68 @@ def _iter_conversations(batch: pa.Table):
         yield conv, [(int(tidx[j]), texts[j]) for j in range(lo, hi)]
 
 
+def _mentions_table(batch: pa.Table, matcher: MentionMatcher) -> pa.Table:
+    rows: dict[str, list] = {n: [] for n in MENTION_SCHEMA.names}
+    for conv, turns in _iter_conversations(batch):
+        mentions, _ = extract_conversation(turns, matcher)
+        for ti, m in mentions:
+            rows["mention_id"].append(f"{conv}#{ti}#{m.start}")
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(ti)
+            rows["surface"].append(m.surface)
+            rows["norm"].append(m.norm)
+            rows["start"].append(m.start)
+            rows["end"].append(m.end)
+            rows["label"].append(m.label)
+    return pa.table(rows, schema=MENTION_SCHEMA)
+
+
+def _triples_table(batch: pa.Table, matcher: MentionMatcher) -> pa.Table:
+    rows: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
+    for conv, turns in _iter_conversations(batch):
+        _, triples = extract_conversation(turns, matcher)
+        for ti, t in triples:
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(ti)
+            rows["subj_norm"].append(t.subj_norm)
+            rows["pred"].append(t.pred)
+            rows["obj_norm"].append(t.obj_norm)
+            rows["subj_surface"].append(t.subj_surface)
+            rows["obj_surface"].append(t.obj_surface)
+    return pa.table(rows, schema=TRIPLE_SCHEMA)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_matcher(lexicon_path: str) -> MentionMatcher:
+    """Once per worker PROCESS (workers are reused across task stages)."""
+    return MentionMatcher(_load_lexicon(lexicon_path))
+
+
+def detect_mentions_batch(batch: pa.Table, *, lexicon: str) -> pa.Table:
+    """Task-path mention detection (per-worker cached matcher)."""
+    return _mentions_table(batch, _cached_matcher(lexicon))
+
+
+def extract_triples_batch(batch: pa.Table, *, lexicon: str) -> pa.Table:
+    """Task-path triple extraction (per-worker cached matcher)."""
+    return _triples_table(batch, _cached_matcher(lexicon))
+
+
 class MentionDetector:
-    """conversations → mentions table (SURVEY.md P4)."""
+    """conversations → mentions table (SURVEY.md P4) — actor-pool seam."""
 
     def __init__(self, lexicon):
         self.matcher = MentionMatcher(_load_lexicon(lexicon))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: dict[str, list] = {n: [] for n in MENTION_SCHEMA.names}
-        for conv, turns in _iter_conversations(batch):
-            mentions, _ = extract_conversation(turns, self.matcher)
-            for ti, m in mentions:
-                rows["mention_id"].append(f"{conv}#{ti}#{m.start}")
-                rows["conv_id"].append(conv)
-                rows["turn_idx"].append(ti)
-                rows["surface"].append(m.surface)
-                rows["norm"].append(m.norm)
-                rows["start"].append(m.start)
-                rows["end"].append(m.end)
-                rows["label"].append(m.label)
-        return pa.table(rows, schema=MENTION_SCHEMA)
+        return _mentions_table(batch, self.matcher)
 
 
 class TripleExtractor:
-    """conversations → raw (norm-level) triples table (SURVEY.md P5)."""
+    """conversations → raw norm-level triples (SURVEY.md P5) — actor seam."""
 
     def __init__(self, lexicon):
         self.matcher = MentionMatcher(_load_lexicon(lexicon))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: dict[str, list] = {n: [] for n in TRIPLE_SCHEMA.names}
-        for conv, turns in _iter_conversations(batch):
-            _, triples = extract_conversation(turns, self.matcher)
-            for ti, t in triples:
-                rows["conv_id"].append(conv)
-                rows["turn_idx"].append(ti)
-                rows["subj_norm"].append(t.subj_norm)
-                rows["pred"].append(t.pred)
-                rows["obj_norm"].append(t.obj_norm)
-                rows["subj_surface"].append(t.subj_surface)
-                rows["obj_surface"].append(t.obj_surface)
-        return pa.table(rows, schema=TRIPLE_SCHEMA)
+        return _triples_table(batch, self.matcher)

@@ -18,6 +18,8 @@ path (each actor reads it — scales to many nodes via shared storage) or as a
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -63,8 +65,66 @@ def load_catalogue_index(catalogue) -> tuple[dict[str, str], list[str], np.ndarr
     return exact, ids, mat
 
 
+def _link_table(batch: pa.Table, exact: dict, ids: list, mat: np.ndarray,
+                top_k: int, cfg: EngineConfig) -> pa.Table:
+    norms = batch["norm"].to_pylist()
+    out: dict[str, list] = {n: [] for n in LINK_SCHEMA.names}
+
+    pending: list[str] = []
+    for n in norms:
+        eid = exact.get(n)
+        if eid is not None:
+            out["norm"].append(n)
+            out["entity_id"].append(eid)
+            out["score"].append(1.0)
+            out["rank"].append(0)
+            out["method"].append("exact")
+        else:
+            pending.append(n)
+
+    if pending:
+        q = embed_texts(pending, dim=cfg.embed_dim, seed=cfg.embed_seed)
+        idx, score = cosine_topk(q, mat, top_k)
+        for i, n in enumerate(pending):
+            linked = False
+            for r in range(idx.shape[1]):
+                s = float(score[i, r])
+                if s < cfg.link_tau:
+                    break
+                out["norm"].append(n)
+                out["entity_id"].append(ids[int(idx[i, r])])
+                out["score"].append(s)
+                out["rank"].append(r)
+                out["method"].append("embed")
+                linked = True
+            if not linked:
+                out["norm"].append(n)
+                out["entity_id"].append(f"unk:{n}")
+                out["score"].append(0.0)
+                out["rank"].append(0)
+                out["method"].append("none")
+    return pa.table(out, schema=LINK_SCHEMA)
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_index(catalogue_path: str):
+    """Index build once per worker PROCESS (task path; workers are reused)."""
+    return load_catalogue_index(catalogue_path)
+
+
+def link_batch(batch: pa.Table, *, catalogue: str, top_k: int = 1,
+               cfg: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Task-path linker: per-worker cached replicated index (R1) + batched
+    top-k retrieval (R2). Same semantics as the ``Linker`` actor class."""
+    exact, ids, mat = _cached_index(catalogue)
+    return _link_table(batch, exact, ids, mat, top_k, cfg)
+
+
 class Linker:
-    """Batch linker over a ``norm`` column → LINK_SCHEMA rows (top-k)."""
+    """Batch linker over a ``norm`` column → LINK_SCHEMA rows (top-k).
+
+    Actor-pool seam for an EXPENSIVE index (FAISS/HNSW on a big catalogue
+    per the north star): index built once per actor in ``__init__``."""
 
     def __init__(self, catalogue, top_k: int = 1,
                  cfg: EngineConfig = DEFAULT_CONFIG):
@@ -73,41 +133,5 @@ class Linker:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        norms = batch["norm"].to_pylist()
-        out: dict[str, list] = {n: [] for n in LINK_SCHEMA.names}
-
-        pending: list[str] = []
-        for n in norms:
-            eid = self.exact.get(n)
-            if eid is not None:
-                out["norm"].append(n)
-                out["entity_id"].append(eid)
-                out["score"].append(1.0)
-                out["rank"].append(0)
-                out["method"].append("exact")
-            else:
-                pending.append(n)
-
-        if pending:
-            q = embed_texts(pending, dim=self.cfg.embed_dim,
-                            seed=self.cfg.embed_seed)
-            idx, score = cosine_topk(q, self.mat, self.top_k)
-            for i, n in enumerate(pending):
-                linked = False
-                for r in range(idx.shape[1]):
-                    s = float(score[i, r])
-                    if s < self.cfg.link_tau:
-                        break
-                    out["norm"].append(n)
-                    out["entity_id"].append(self.ids[int(idx[i, r])])
-                    out["score"].append(s)
-                    out["rank"].append(r)
-                    out["method"].append("embed")
-                    linked = True
-                if not linked:
-                    out["norm"].append(n)
-                    out["entity_id"].append(f"unk:{n}")
-                    out["score"].append(0.0)
-                    out["rank"].append(0)
-                    out["method"].append("none")
-        return pa.table(out, schema=LINK_SCHEMA)
+        return _link_table(batch, self.exact, self.ids, self.mat,
+                           self.top_k, self.cfg)

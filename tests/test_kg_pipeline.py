@@ -136,3 +136,75 @@ def test_distributed_components_match_driver_path():
         assert dist[k] == v and fast[k] == v
     for k, v in dist.items():
         assert fast.get(k, k) == v
+
+
+def test_canonicalize_distributed_matches_local(unit_corpus):
+    """The zero-Ray-job local canonicalize fast path and the fully
+    distributed blocking + label-propagation path must agree exactly."""
+    from dataclasses import replace
+
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG
+    from cdrc_semantic_search_ray.pipelines.kg import canonicalize
+
+    cat = str(unit_corpus / "catalogue.parquet")
+
+    def to_map(ds):
+        out = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b["entity_key"].to_pylist(),
+                           b["canonical_id"].to_pylist()))
+        return out
+
+    local = to_map(canonicalize(cat, DEFAULT_CONFIG))
+    dist_cfg = replace(DEFAULT_CONFIG, canon_driver_entities=0,
+                       canon_driver_threshold=0)
+    dist = to_map(canonicalize(cat, dist_cfg))
+    assert local == dist
+
+
+def test_actor_pool_path_matches_task_path(unit_corpus):
+    """use_actor_pools=True (the GPU-model seam) and the default task path
+    must produce identical triples and links."""
+    from dataclasses import replace
+
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG
+    from cdrc_semantic_search_ray.pipelines import kg as K
+
+    lex = str(unit_corpus / "lexicon.parquet")
+    cat = str(unit_corpus / "catalogue.parquet")
+    actor_cfg = replace(DEFAULT_CONFIG, use_actor_pools=True)
+
+    def triple_set(cfg):
+        conv = K.build_conversations(unit_corpus)
+        tr = K.extract_triples(conv, lex, cfg)
+        out = set()
+        for b in tr.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b["conv_id"].to_pylist(), b["turn_idx"].to_pylist(),
+                           b["subj_norm"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj_norm"].to_pylist()))
+        return out
+
+    assert triple_set(DEFAULT_CONFIG) == triple_set(actor_cfg)
+
+
+def test_build_graph_matches_run_kg(kg_artifacts, unit_corpus):
+    """The fused production path (build_graph: partial-agg then resolve
+    distinct keys inline) must yield the same weighted edge set as the
+    artifact path (resolve every row, then aggregate)."""
+    from cdrc_semantic_search_ray.pipelines.kg import build_graph
+
+    def edge_weights(ds):
+        out = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.update({
+                (s, p, o): w
+                for s, p, o, w in zip(b["subj"].to_pylist(),
+                                      b["pred"].to_pylist(),
+                                      b["obj"].to_pylist(),
+                                      b["weight"].to_pylist())
+            })
+        return out
+
+    edges_fast, nodes_fast = build_graph(unit_corpus)
+    assert edge_weights(edges_fast) == edge_weights(kg_artifacts["edges"])
+    assert nodes_fast.count() == kg_artifacts["nodes"].count()
