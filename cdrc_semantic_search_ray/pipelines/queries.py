@@ -596,6 +596,172 @@ def q29_multimodal_features(sf_dir: str):  # rows-only (stubbed decode)
     return MM.decode_features(payloads)
 
 
+def q30_log_mining(sf_dir: str):
+    """The reference's full log-mining flow (SURVEY.md E3: M1 regex extract
+    → M2 normalize → R4 count → R5 sort desc → R6 limit), over documents."""
+    import re
+
+    ds = R.read_table(sf_dir, "documents", ["text"])
+    pat = re.compile(r"[a-z]{5,}")
+
+    def extract_count(batch: pa.Table) -> pa.Table:
+        # flat-map + per-batch combiner in one pass
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(pat.findall(t))
+        return pa.table({"query": pa.array(list(c.keys()), type=pa.string()),
+                         "n": pa.array(list(c.values()), type=pa.int64())})
+
+    partials = ds.map_batches(extract_count, batch_format="pyarrow")
+    from ..stages.keyblocks import group_aggregate, map_key_blocks
+
+    counts = map_key_blocks(
+        partials, ["query"],
+        lambda b: group_aggregate(b, ["query"], [("n", "sum")],
+                                  rename={"n_sum": "n"}))
+    return R.sort_limit(counts, [("n", "descending"), ("query", "ascending")],
+                        50)
+
+
+_SQL_Q30 = """
+SELECT w AS query, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, query ASC LIMIT 50
+"""
+
+
+def q31_json_props(sf_dir: str):
+    """JSON-ish scalar extraction from the events props column (SURVEY.md
+    §2.6 scalar functions: json parse shape of S1)."""
+    ds = R.read_table(sf_dir, "events", ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch["props"], r"(?P<k>[0-9]+)")
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks(),
+            "k": pc.struct_field(k, "k").cast(pa.int64()),
+        })
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    return R.partial_groupby(parsed, ["event_type"],
+                             [("k", "sum", "sum_k"), ("k", "max", "max_k")])
+
+
+_SQL_Q31 = """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q32_render_notes(sf_dir: str):
+    """Template rendering (SURVEY.md S3 notes writer / M12 filename
+    renderer): vectorized string concat + slice per row."""
+    ds = R.read_table(sf_dir, "documents", ["doc_id", "text", "lang",
+                                            "source"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(batch["text"], 0, 30)
+        note = pc.binary_join_element_wise(
+            batch["source"].combine_chunks().cast(pa.string()),
+            batch["lang"].combine_chunks().cast(pa.string()),
+            head.combine_chunks() if isinstance(head, pa.ChunkedArray) else head,
+            ": ")
+        fname = pc.binary_join_element_wise(
+            pa.array(["notes"] * len(batch)),
+            batch["doc_id"].combine_chunks().cast(pa.string()), "-")
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "filename": pc.binary_join_element_wise(
+                fname, pa.array(["txt"] * len(batch)), "."),
+            "note": note,
+        })
+
+    return ds.map_batches(render, batch_format="pyarrow")
+
+
+_SQL_Q32 = """
+SELECT doc_id,
+       'notes-' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+       source || ': ' || lang || ': ' || substr(text, 1, 30) AS note
+FROM documents
+"""
+
+
+def q33_param_sweep(sf_dir: str):
+    """Parameter sweep / cross product (SURVEY.md R9): small param set ×
+    per-group aggregate, broadcast side in the batch UDF."""
+    ds = R.read_table(sf_dir, "documents", ["lang"])
+    counts = R.partial_groupby(
+        ds.map_batches(
+            lambda b: b.append_column("one", pa.array([1] * len(b),
+                                                      type=pa.int64())),
+            batch_format="pyarrow"),
+        ["lang"], [("one", "sum", "n_docs")])
+    alphas = [25, 50, 75]  # percent — integer outputs hash engine-proof
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        langs, n, a_out, score = [], [], [], []
+        for lang, nd in zip(batch["lang"].to_pylist(),
+                            batch["n_docs"].to_pylist()):
+            for a in alphas:
+                langs.append(lang)
+                n.append(nd)
+                a_out.append(a)
+                score.append(a * nd)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "alpha_pct": pa.array(a_out, type=pa.int64()),
+            "n_docs": pa.array(n, type=pa.int64()),
+            "score": pa.array(score, type=pa.int64()),
+        })
+
+    return counts.map_batches(sweep, batch_format="pyarrow")
+
+
+_SQL_Q33 = """
+SELECT lang, alpha_pct, n_docs, alpha_pct * n_docs AS score
+FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+CROSS JOIN (VALUES (25), (50), (75)) AS t(alpha_pct)
+"""
+
+
+def q34_csv_roundtrip(sf_dir: str):
+    """CSV sink + reader (SURVEY.md S8/S9): aggregate → ds.write_csv →
+    ray.data.read_csv → return. The on-disk hop is part of the query."""
+    import shutil
+
+    import ray.data as rd
+
+    ds = R.read_table(sf_dir, "events", ["event_type", "value"])
+    agg = R.partial_groupby(ds, ["event_type"],
+                            [("value", "count", "n"),
+                             ("value", "max", "_max_v")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks(),
+            "n": batch["n"].cast(pa.int64()),
+            "max_value_e2": _fx(batch["_max_v"], 2),
+        })
+
+    out = Path(f"/tmp/cdrc_q34_{Path(sf_dir).name}")
+    shutil.rmtree(out, ignore_errors=True)
+    agg.map_batches(finish, batch_format="pyarrow").write_csv(str(out))
+    return rd.read_csv(str(out))
+
+
+_SQL_Q34 = """
+SELECT event_type, count(*) AS n,
+       CAST(round(100 * max(value)) AS BIGINT) AS max_value_e2
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -693,6 +859,11 @@ QUERIES = {
     "q27_fingerprint": q27_fingerprint,
     "q28_langid": q28_langid,
     "q29_multimodal_features": q29_multimodal_features,
+    "q30_log_mining": q30_log_mining,
+    "q31_json_props": q31_json_props,
+    "q32_render_notes": q32_render_notes,
+    "q33_param_sweep": q33_param_sweep,
+    "q34_csv_roundtrip": q34_csv_roundtrip,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -725,4 +896,9 @@ ORACLE_SQL = {
     "q25_token_count": _SQL_Q25,
     "q26_text_quality": _SQL_Q26,
     "q27_fingerprint": _SQL_Q27,
+    "q30_log_mining": _SQL_Q30,
+    "q31_json_props": _SQL_Q31,
+    "q32_render_notes": _SQL_Q32,
+    "q33_param_sweep": _SQL_Q33,
+    "q34_csv_roundtrip": _SQL_Q34,
 }
