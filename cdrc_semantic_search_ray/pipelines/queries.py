@@ -450,18 +450,33 @@ def q16_journeys(sf_dir: str):
     (SURVEY.md R3/P3) oracled on the events table."""
     ds = R.read_table(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
 
-    def _j(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                ("event_id", "ascending")])
-        g = group.take(idx)
+    def _j(block: pa.Table) -> pa.Table:
+        # whole-block: local sort, run boundaries, one join per user
+        from ..stages.keyblocks import run_starts
+
+        n = len(block)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "journey": pa.array([], pa.string())})
+        b = block.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        starts = run_starts(b, ["user_id"])
+        bounds = np.append(starts, n)
+        ets = b["event_type"].to_pylist()
         return pa.table({
-            "user_id": g["user_id"].slice(0, 1).combine_chunks(),
-            "n_events": pa.array([len(g)], pa.int64()),
-            "journey": pa.array(["|".join(g["event_type"].to_pylist())],
-                                pa.string()),
+            "user_id": b["user_id"].combine_chunks().take(
+                pa.array(starts, type=pa.int64())),
+            "n_events": pa.array(np.diff(bounds), pa.int64()),
+            "journey": pa.array(
+                ["|".join(ets[lo:hi]) for lo, hi in zip(bounds[:-1],
+                                                        bounds[1:])],
+                pa.string()),
         })
 
-    return ds.groupby("user_id").map_groups(_j, batch_format="pyarrow")
+    from ..stages.keyblocks import map_key_blocks
+
+    return map_key_blocks(ds, ["user_id"], _j)
 
 
 _SQL_Q16 = """

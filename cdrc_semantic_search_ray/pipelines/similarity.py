@@ -38,6 +38,37 @@ def _sim_e6(x: float) -> int:
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
+def _merge_topk(partials, k: int):
+    """Whole-block top-k finalize: block sorted by (query_id, sim desc,
+    neighbor asc); rank = offset within the query run; keep rank <= k.
+    One vectorized pass per block (see stages/keyblocks.py)."""
+    import numpy as np
+
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def merge(block):
+        n = len(block)
+        if n == 0:
+            return pa.table({f.name: [] for f in TOPK_SCHEMA}, schema=TOPK_SCHEMA)
+        b = block.sort_by([("query_id", "ascending"), ("sim", "descending"),
+                           ("neighbor_id", "ascending")])
+        starts = run_starts(b, ["query_id"])
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, sizes) + 1
+        keep = rank <= k
+        b = b.filter(pa.array(keep))
+        sims = b["sim"].combine_chunks().to_numpy()
+        sim_e6 = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5), sims)
+        return pa.table({
+            "query_id": b["query_id"].combine_chunks(),
+            "neighbor_id": b["neighbor_id"].combine_chunks(),
+            "sim_e6": pa.array(sim_e6.astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        }, schema=TOPK_SCHEMA)
+
+    return map_key_blocks(partials, ["query_id"], merge)
+
+
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64)
@@ -83,19 +114,7 @@ def topk_bruteforce(embeddings, query_ids: list[int], k: int = 5):
 
     partials = embeddings.map_batches(partial, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("sim", "descending"),
-                                                ("neighbor_id", "ascending")])
-        g = group.take(idx.slice(0, k))
-        sims = [_sim_e6(s) for s in g["sim"].to_pylist()]
-        return pa.table({
-            "query_id": g["query_id"].combine_chunks(),
-            "neighbor_id": g["neighbor_id"].combine_chunks(),
-            "sim_e6": pa.array(sims, pa.int64()),
-            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
-        }, schema=TOPK_SCHEMA)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k)
 
 
 def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
@@ -163,16 +182,4 @@ def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
 
     partials = bucketed.map_batches(partial, batch_format="pyarrow")
 
-    def merge(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("sim", "descending"),
-                                                ("neighbor_id", "ascending")])
-        g = group.take(idx.slice(0, k))
-        return pa.table({
-            "query_id": g["query_id"].combine_chunks(),
-            "neighbor_id": g["neighbor_id"].combine_chunks(),
-            "sim_e6": pa.array([_sim_e6(s) for s in g["sim"].to_pylist()],
-                               pa.int64()),
-            "rank": pa.array(range(1, len(g) + 1), pa.int64()),
-        }, schema=TOPK_SCHEMA)
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(partials, k)
