@@ -96,8 +96,6 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
                          b["canonical_id"].to_pylist()))
 
     # ---- stage 2: resolved triples (PARTITION-granular resume) ------------
-    import ray
-
     tdir = out / "triples"
     pending = man.pending("triples", range(num_parts))
     recomputed["triples"] = pending
@@ -112,11 +110,9 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
             continue
         part = rd.read_parquet(str(src))
         resolved = part.map_batches(
-            K.Resolver,
-            fn_constructor_kwargs={"links_ref": ray.put(link_map),
-                                   "canon_ref": ray.put(canon)},
-            batch_format="pyarrow", batch_size=cfg.batch_size,
-            concurrency=(1, cfg.link_concurrency))
+            K.resolve_batch,
+            fn_kwargs={"links": link_map, "canon": canon},
+            batch_format="pyarrow", batch_size=cfg.batch_size)
         resolved.write_parquet(str(dst))
         rows = resolved.count()
         man.record("triples", p, rows, wall_s=time.time() - t0)

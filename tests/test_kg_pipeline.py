@@ -208,3 +208,24 @@ def test_build_graph_matches_run_kg(kg_artifacts, unit_corpus):
     edges_fast, nodes_fast = build_graph(unit_corpus)
     assert edge_weights(edges_fast) == edge_weights(kg_artifacts["edges"])
     assert nodes_fast.count() == kg_artifacts["nodes"].count()
+
+
+def test_bucket_count_invariance(unit_corpus):
+    """Triple output must not depend on the reassembly bucket count
+    (SURVEY.md §5.5: partitioning is placement, never semantics)."""
+    from cdrc_semantic_search_ray.pipelines import kg as K
+    from cdrc_semantic_search_ray.stages.reassemble import reassemble
+
+    lex = str(unit_corpus / "lexicon.parquet")
+
+    def triples_with_buckets(p):
+        conv = reassemble(K.read_transcripts(unit_corpus), num_buckets=p)
+        tr = K.extract_triples(conv, lex)
+        out = set()
+        for b in tr.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b["conv_id"].to_pylist(), b["turn_idx"].to_pylist(),
+                           b["subj_norm"].to_pylist(), b["pred"].to_pylist(),
+                           b["obj_norm"].to_pylist()))
+        return out
+
+    assert triples_with_buckets(7) == triples_with_buckets(64)
