@@ -1,18 +1,24 @@
 """The flagship KG-construction pipeline (SURVEY.md §2.5, P1→P11).
 
     read transcripts (P1)            ray.data.read_parquet, column-pruned
-      → reassemble conversations (P3)  groupby(conv_id) + per-group sort
-      → mention detection (P4)         actor pool (gazetteer automaton)
-      → triple extraction (P5)         actor pool (SVO rules + coref carry)
-      → distinct mention norms         partial-agg + groupby (pre-aggregated)
-      → entity linking (P7)            actor pool w/ replicated catalogue index
+      → reassemble conversations (P3)  hash-bucket shuffle + local nest
+      → mention detection (P4)         per-worker cached matcher (actor seam)
+      → triple extraction (P5)         same seam (SVO rules + coref carry)
+      → distinct mention norms         partial-agg combiner + merge shuffle
+      → entity linking (P7)            replicated catalogue index per worker
       → LSH blocking + pairs (P8/P9)   banded SRP keys, salted, capped blocks
-      → canonicalization (P10)         distributed min-label propagation
-      → resolve + edge/node agg (P11)  broadcast maps + groupby aggregation
+      → canonicalization (P10)         union-find (driver fast path /
+                                       distributed min-label propagation)
+      → resolve + edge/node agg (P11)  broadcast maps + combiner aggregation
+
+Two entry points: :func:`run_kg` exposes every artifact (conversations,
+mentions, triples, links, canon_map, edges, nodes); :func:`build_graph` is
+the fused production path (resolve folded into the edge combiner) benched
+by bench.py — parity between the two is test-enforced.
 
 Broadcast-vs-shuffle decisions (documented per SURVEY.md §7.3): the link map
 (distinct mention norms → entity) and canon map (catalogue-sized) are SMALL
-sides — they ship to resolver actors once via ``ray.put``, so triple
+sides — they ship to workers once (``fn_kwargs`` / ``ray.put``), so triple
 resolution needs no shuffle. If distinct norms outgrew worker memory the
 resolve step would switch to the bucketed hash join in
 ``pipelines/relational.py`` (same semantics, one extra shuffle).
@@ -453,8 +459,10 @@ def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
         })
 
     partials = triples.map_batches(partial, batch_format="pyarrow")
-    return map_key_blocks(partials, ["subj", "pred", "obj"],
-                          _edge_merge_fn(cap))
+    from ..stages.keyblocks import map_hash_blocks
+
+    return map_hash_blocks(partials, ["subj", "pred", "obj"],
+                           _edge_merge_fn(cap))
 
 
 def _edge_merge_fn(cap: int):
@@ -470,6 +478,10 @@ def _edge_merge_fn(cap: int):
         if len(block) == 0:
             return pa.table({c: [] for c in EDGE_SCHEMA.names},
                             schema=EDGE_SCHEMA)
+        # hash-bucket co-location delivers unsorted blocks; local sort is
+        # vectorized and parallel per block (see keyblocks.map_hash_blocks)
+        block = block.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                               ("obj", "ascending")])
         starts = run_starts(block, ["subj", "pred", "obj"])
         bounds = np.append(starts, len(block))
         weight = np.add.reduceat(
@@ -530,8 +542,10 @@ def edges_from_raw(triples_raw, catalogue_path: str,
         }, schema=EDGE_SCHEMA)
 
     partials = triples_raw.map_batches(partial, batch_format="pyarrow")
-    return map_key_blocks(partials, ["subj", "pred", "obj"],
-                          _edge_merge_fn(cap))
+    from ..stages.keyblocks import map_hash_blocks
+
+    return map_hash_blocks(partials, ["subj", "pred", "obj"],
+                           _edge_merge_fn(cap))
 
 
 def build_graph(corpus_dir: str | Path, cfg: EngineConfig = DEFAULT_CONFIG,

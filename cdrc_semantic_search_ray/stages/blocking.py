@@ -172,17 +172,19 @@ def candidate_pairs(with_vecs, cfg: EngineConfig = DEFAULT_CONFIG,
     blocks → [frequency pre-pass → salt] → per-block pairwise → dedup.
     Both shuffles run vectorized whole-block finalizers (keyblocks.py).
     """
-    from .keyblocks import group_aggregate, map_key_blocks
+    from .keyblocks import group_aggregate, map_hash_blocks
 
     blocks = with_vecs.map_batches(
         lambda t: block_keys_batch(t, cfg=cfg), batch_format="pyarrow")
     if salt:
         hot = find_hot_keys(blocks, cfg)
         blocks = salt_hot_keys(blocks, hot, cfg)
-    pairs = map_key_blocks(blocks, ["block_key"], make_pairs_block_fn(cfg))
+    # hash-bucket shuffles (int sort key): the pair fn sorts locally by
+    # (block_key, node_id), and hash group_by needs no order at all.
+    pairs = map_hash_blocks(blocks, ["block_key"], make_pairs_block_fn(cfg))
     # cross-band dedup: one row per (a, b); score is identical across bands
     # (same two vectors), so max == the value and stays deterministic.
-    return map_key_blocks(
+    return map_hash_blocks(
         pairs, ["a", "b"],
         lambda t: group_aggregate(t, ["a", "b"], [("score", "max")],
                                   rename={"score_max": "score"}))

@@ -63,9 +63,13 @@ def _block_to_convs(block: pa.Table) -> pa.Table:
 
 def _default_buckets() -> int:
     """Many more buckets than sort partitions: each output partition then
-    holds ~tens of buckets and sampling boundaries can only shift a
-    partition's size by ±1 bucket (a few %). With P ≈ partition count the
-    same shift is ±50-100% — measured 2× task skew."""
+    holds several buckets and sampling boundaries can only shift a
+    partition's size by ±1 bucket. With P ≈ partition count the shift is
+    ±50-100% — measured 2× task skew at 128 buckets / 192 partitions.
+    Beyond ~4 buckets/partition the residual skew stops mattering: tasks
+    outnumber cores by ~8×, so waves average it out (A/B at 4.8M turns:
+    1024 buckets 83s, 8192 buckets 88s — more buckets only adds sort
+    sampling cost)."""
     import ray
 
     if ray.is_initialized():
