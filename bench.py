@@ -29,7 +29,7 @@ BENCH_CONVS_PER_SF = 125_000  # sf0.1 → 12,500 convs ≈ 100k turns
 # --scaling corpus: large enough that per-turn compute dominates fixed
 # per-job overhead at 32 CPUs — efficiency measured in the overhead-bound
 # regime says nothing about cluster scaling (see BASELINE.md)
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "300000"))
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "600000"))
 KG_ONLY = os.environ.get("GRAFT_BENCH_KG_ONLY") == "1"
 
 

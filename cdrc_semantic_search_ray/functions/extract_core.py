@@ -87,6 +87,8 @@ class MentionMatcher:
     first alternative that matches at a position.
     """
 
+    _WORD_RE = re.compile(r"\w+")
+
     def __init__(self, lexicon: dict[str, str]):
         if not lexicon:
             raise ValueError("empty lexicon")
@@ -96,8 +98,49 @@ class MentionMatcher:
             r"\b(?:" + "|".join(re.escape(s) for s in surfaces) + r")\b",
             re.IGNORECASE,
         )
+        # span count per surface in TEXT terms: "tessera-ml" is one lexicon
+        # token but two \w+ spans
+        self.max_spans = max(
+            len(self._WORD_RE.findall(s)) for s in self.lexicon)
 
     def find(self, text: str) -> list[Mention]:
+        """Word-span n-gram dictionary scan.
+
+        Equivalent to leftmost-longest non-overlapping matching of the
+        ``\\b(alt|...)\\b`` alternation (see :meth:`find_regex`, the
+        reference implementation kept for the parity test) but O(words ×
+        max_spans) dict lookups instead of O(chars × alternatives): the
+        alternation was 83% of extraction CPU at ~800 surfaces. The lookup
+        key is the candidate's bare ``casefold()`` (NOT the
+        whitespace-collapsing :func:`normalize_surface`): lexicon keys are
+        already casefolded and single-spaced, so strict equality reproduces
+        the regex's case-insensitive LITERAL match — "greta  dubois"
+        (double space) must not match, hyphenated surfaces must. Matches
+        start and end on word boundaries exactly as ``\\b`` requires.
+        """
+        spans = [(m.start(), m.end())
+                 for m in self._WORD_RE.finditer(text)]
+        lexicon = self.lexicon
+        out: list[Mention] = []
+        i, n_words = 0, len(spans)
+        while i < n_words:
+            matched = False
+            for n in range(min(self.max_spans, n_words - i), 0, -1):
+                start, end = spans[i][0], spans[i + n - 1][1]
+                surface = text[start:end]
+                key = surface.casefold()
+                label = lexicon.get(key)
+                if label is not None:
+                    out.append(Mention(surface, key, start, end, label))
+                    i += n
+                    matched = True
+                    break
+            if not matched:
+                i += 1
+        return out
+
+    def find_regex(self, text: str) -> list[Mention]:
+        """Reference implementation (the compiled alternation)."""
         out: list[Mention] = []
         for m in self.rx.finditer(text):
             surface = m.group(0)

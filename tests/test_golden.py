@@ -41,3 +41,27 @@ def test_golden_canon_matches_truth(unit_corpus, golden_result):
     assert golden_result["canon"] == truth
     # and it actually merges something
     assert sum(1 for k, v in truth.items() if k != v) >= 20
+
+
+def test_mention_matcher_fast_path_matches_regex(unit_corpus):
+    """The word-span n-gram scanner must reproduce the reference regex
+    alternation (leftmost-longest, word-bounded, case-insensitive) exactly,
+    including hyphenated surfaces."""
+    import pyarrow.parquet as pq
+
+    from cdrc_semantic_search_ray.functions.extract_core import MentionMatcher
+
+    lex = pq.read_table(unit_corpus / "lexicon.parquet",
+                        columns=["norm", "kind"])
+    m = MentionMatcher(dict(zip(lex["norm"].to_pylist(),
+                                lex["kind"].to_pylist())))
+    texts = pq.read_table(unit_corpus / "transcripts",
+                          columns=["text"])["text"].to_pylist()
+    texts += [
+        "",
+        "greta  dubois saw nothing.",       # double space must NOT match (regex is literal)
+        "the tessera-ml kit beat drift-kits.",  # hyphen + plural suffix
+        "G DUBOIS met w ibarra; it helped.",
+    ]
+    for x in texts:
+        assert m.find(x) == m.find_regex(x), repr(x)
