@@ -442,20 +442,17 @@ def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by(["subj", "pred", "obj"]).aggregate(
-            [("conv_id", "list"), ("turn_idx", "list")])
-        convs = agg["conv_id_list"].to_pylist()
-        turns = agg["turn_idx_list"].to_pylist()
-        prov = [
-            [{"conv_id": c, "turn_idx": t}
-             for c, t in sorted(zip(cs, ts))[:cap]]
-            for cs, ts in zip(convs, turns)
-        ]
+            [("conv_id", "list"), ("turn_idx", "list"),
+             ("conv_id", "count")])
         return pa.table({
             "subj": agg["subj"],
             "pred": agg["pred"],
             "obj": agg["obj"],
-            "weight": pa.array([len(c) for c in convs], type=pa.int64()),
-            "provenance": pa.array(prov, type=EDGE_SCHEMA.field("provenance").type),
+            "weight": agg["conv_id_count"].cast(pa.int64()),
+            # capped provenance SAMPLE in batch (= extraction) order — all
+            # vectorized; the struct list is assembled once, at merge time
+            "conv_s": pc.list_slice(agg["conv_id_list"], 0, cap),
+            "turn_s": pc.list_slice(agg["turn_idx_list"], 0, cap),
         })
 
     partials = triples.map_batches(partial, batch_format="pyarrow")
@@ -467,10 +464,10 @@ def aggregate_edges(triples, cfg: EngineConfig = DEFAULT_CONFIG):
 
 def _edge_merge_fn(cap: int):
     def merge(block: pa.Table) -> pa.Table:
-        """Run-boundary reduction over the key-sorted block (arrow has no
-        hash_list kernel for list<struct>): weight sums are one
-        ``np.add.reduceat``; only the tiny capped provenance merge (≤ cap ×
-        #partials dicts per edge) runs in Python."""
+        """Run-boundary reduction over the locally key-sorted block — fully
+        vectorized: weight sums via ``np.add.reduceat``; the capped
+        provenance sample via flatten → per-group position mask → filter →
+        one ListArray/StructArray build per block. No per-row Python."""
         import numpy as np
 
         from ..stages.keyblocks import run_starts
@@ -482,24 +479,38 @@ def _edge_merge_fn(cap: int):
         # vectorized and parallel per block (see keyblocks.map_hash_blocks)
         block = block.sort_by([("subj", "ascending"), ("pred", "ascending"),
                                ("obj", "ascending")])
+        n_rows = len(block)
         starts = run_starts(block, ["subj", "pred", "obj"])
-        bounds = np.append(starts, len(block))
+        n_groups = len(starts)
         weight = np.add.reduceat(
             block["weight"].combine_chunks().to_numpy(), starts)
-        prov_py = block["provenance"].combine_chunks().to_pylist()
-        prov = [
-            sorted((p for row in prov_py[lo:hi] for p in row),
-                   key=lambda p: (p["conv_id"], p["turn_idx"]))[:cap]
-            for lo, hi in zip(bounds[:-1], bounds[1:])
-        ]
+
+        conv_s = block["conv_s"].combine_chunks()
+        turn_s = block["turn_s"].combine_chunks()
+        row_lens = pc.list_value_length(conv_s).to_numpy().astype(np.int64)
+        row_group = np.repeat(
+            np.arange(n_groups),
+            np.diff(np.append(starts, n_rows)))
+        elem_group = np.repeat(row_group, row_lens)
+        group_counts = np.bincount(elem_group, minlength=n_groups)
+        group_start = np.concatenate(([0], np.cumsum(group_counts)[:-1]))
+        pos = np.arange(len(elem_group)) - group_start[elem_group]
+        keep = pa.array(pos < cap)
+        struct = pa.StructArray.from_arrays(
+            [conv_s.flatten().filter(keep), turn_s.flatten().filter(keep)],
+            names=["conv_id", "turn_idx"])
+        offsets = np.concatenate(
+            ([0], np.cumsum(np.minimum(group_counts, cap))))
+        prov = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), struct)
+
         idx = pa.array(starts, type=pa.int64())
         return pa.table({
             "subj": block["subj"].combine_chunks().take(idx),
             "pred": block["pred"].combine_chunks().take(idx),
             "obj": block["obj"].combine_chunks().take(idx),
             "weight": pa.array(weight, type=pa.int64()),
-            "provenance": pa.array(prov,
-                                   type=EDGE_SCHEMA.field("provenance").type),
+            "provenance": prov,
         }, schema=EDGE_SCHEMA)
 
     return merge
@@ -521,25 +532,19 @@ def edges_from_raw(triples_raw, catalogue_path: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by(["subj_norm", "pred", "obj_norm"]).aggregate(
-            [("conv_id", "list"), ("turn_idx", "list")])
+            [("conv_id", "list"), ("turn_idx", "list"),
+             ("conv_id", "count")])
         r = _inline_resolver(catalogue_path, canon_items, cfg)
         subj = r.resolve_many(agg["subj_norm"].to_pylist())
         obj = r.resolve_many(agg["obj_norm"].to_pylist())
-        convs = agg["conv_id_list"].to_pylist()
-        turns = agg["turn_idx_list"].to_pylist()
-        prov = [
-            [{"conv_id": c, "turn_idx": t}
-             for c, t in sorted(zip(cs, ts))[:cap]]
-            for cs, ts in zip(convs, turns)
-        ]
         return pa.table({
             "subj": pa.array(subj, type=pa.string()),
             "pred": agg["pred"].combine_chunks(),
             "obj": pa.array(obj, type=pa.string()),
-            "weight": pa.array([len(c) for c in convs], type=pa.int64()),
-            "provenance": pa.array(prov,
-                                   type=EDGE_SCHEMA.field("provenance").type),
-        }, schema=EDGE_SCHEMA)
+            "weight": agg["conv_id_count"].cast(pa.int64()),
+            "conv_s": pc.list_slice(agg["conv_id_list"], 0, cap),
+            "turn_s": pc.list_slice(agg["turn_idx_list"], 0, cap),
+        })
 
     partials = triples_raw.map_batches(partial, batch_format="pyarrow")
     from ..stages.keyblocks import map_hash_blocks
