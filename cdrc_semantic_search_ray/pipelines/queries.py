@@ -10,11 +10,14 @@ get the driver's rows-only check; their correctness is covered by pytest
 instead (tests/).
 
 Float discipline (hash parity with DuckDB):
-- ratios/averages that are a SINGLE int/int division are emitted unrounded
-  (bit-identical across engines);
-- multi-term double sums/averages are emitted FIXED-POINT (``_fx``: cents /
-  e-notation int64) on both sides — the nearest-double of a rounded decimal
-  can differ in the last ulp between engines, integers cannot;
+- monetary/value columns are cast to EXACT int64 fixed-point (``_cents``:
+  all testdata money columns are 2-decimal, so the cast is lossless) at SCAN
+  time, BEFORE any sum. Integer sums are associative, so results are
+  independent of batch/partition order — float64 sums are not, and rounding
+  a partition-order-dependent sum flips half-way cases with ``num_cpus``
+  (the round-1 q10 flake). The oracle SQL mirrors the same per-row cast.
+- ratios/averages divide one exact integer by another (deterministic double
+  division mirrored verbatim in SQL) and are emitted fixed-point (``_fx``).
 - near-dup thresholds are chosen away from any observed pair similarity.
 """
 
@@ -54,6 +57,26 @@ def _fx(arr, k: int):
     return _r(pc.multiply(arr, float(10 ** k)), 0).cast(pa.int64())
 
 
+def _cents(arr):
+    """Lossless int64 fixed-point (×100) of a 2-decimal double column.
+
+    Applied PER ROW at scan time so every downstream sum runs over exact
+    integers (associative ⇒ partition-order-proof). The oracle SQL applies
+    the identical ``CAST(round(100 * col) AS BIGINT)`` per row."""
+    return _r(pc.multiply(arr, 100.0), 0).cast(pa.int64())
+
+
+def _int_ratio_fx(num, denom, mult: float):
+    """``round(mult * num / denom)`` over EXACT integer columns → int64.
+
+    Deterministic: both inputs are exact integers, both engines convert the
+    same integers to the same doubles and perform the same IEEE ops. SQL
+    mirror: ``CAST(round(mult * num / denom) AS BIGINT)``."""
+    x = pc.divide(pc.multiply(num.cast(pa.float64()), mult),
+                  denom.cast(pa.float64()))
+    return _r(x, 0).cast(pa.int64())
+
+
 def _round_col(batch: pa.Table, col: str, digits: int) -> pa.Table:
     i = batch.schema.get_field_index(col)
     return batch.set_column(i, col, _r(batch[col], digits))
@@ -89,30 +112,41 @@ def q01_pricing_summary(sf_dir: str):
         batch = batch.filter(
             pc.less_equal(batch["l_shipdate"],
                           pa.scalar(np.datetime64("1998-09-01", "us"))))
-        disc = pc.multiply(batch["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("disc_price", disc)
+        qty_i = _r(batch["l_quantity"], 0).cast(pa.int64())  # integral qty
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(batch["l_discount"])  # discount in integer percent
+        # disc_price in exact e4 units: cents × (100 − pct) — no rounding
+        dp_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                                 disc_c))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"].combine_chunks(),
+            "l_linestatus": batch["l_linestatus"].combine_chunks(),
+            "qty_i": qty_i, "price_c": price_c, "disc_c": disc_c,
+            "dp_e4": dp_e4,
+        })
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
     agg = R.partial_groupby(
         ds, ["l_returnflag", "l_linestatus"],
-        [("l_quantity", "sum", "sum_qty"),
-         ("l_extendedprice", "sum", "sum_base_price"),
-         ("disc_price", "sum", "sum_disc_price"),
-         ("l_discount", "sum", "_sum_disc"),
-         ("l_quantity", "count", "count_order")])
+        [("qty_i", "sum", "sum_qty"),
+         ("price_c", "sum", "sum_base_price_cents"),
+         ("dp_e4", "sum", "_sum_dp_e4"),
+         ("disc_c", "sum", "_sum_disc_c"),
+         ("qty_i", "count", "count_order")])
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch["count_order"].cast(pa.float64())
+        n = batch["count_order"]
         return pa.table({
             "l_returnflag": batch["l_returnflag"].combine_chunks(),
             "l_linestatus": batch["l_linestatus"].combine_chunks(),
-            "sum_qty": _fx(batch["sum_qty"], 0),
-            "sum_base_price_cents": _fx(batch["sum_base_price"], 2),
-            "sum_disc_price_cents": _fx(batch["sum_disc_price"], 2),
-            "avg_qty_e4": _fx(pc.divide(batch["sum_qty"], n), 4),
-            "avg_price_e4": _fx(pc.divide(batch["sum_base_price"], n), 4),
-            "avg_disc_e6": _fx(pc.divide(batch["_sum_disc"], n), 6),
+            "sum_qty": batch["sum_qty"].cast(pa.int64()),
+            "sum_base_price_cents": batch["sum_base_price_cents"].cast(pa.int64()),
+            "sum_disc_price_cents": _r(
+                pc.divide(batch["_sum_dp_e4"].cast(pa.float64()), 100.0),
+                0).cast(pa.int64()),
+            "avg_qty_e4": _int_ratio_fx(batch["sum_qty"], n, 10000.0),
+            "avg_price_e4": _int_ratio_fx(batch["sum_base_price_cents"], n, 100.0),
+            "avg_disc_e6": _int_ratio_fx(batch["_sum_disc_c"], n, 10000.0),
             "count_order": batch["count_order"].cast(pa.int64()),
         })
 
@@ -120,17 +154,22 @@ def q01_pricing_summary(sf_dir: str):
 
 
 _SQL_Q01 = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT)           AS qty_i,
+         CAST(round(100 * l_extendedprice) AS BIGINT) AS price_c,
+         CAST(round(100 * l_discount) AS BIGINT)      AS disc_c
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(l_quantity)) AS BIGINT)                          AS sum_qty,
-       CAST(round(100 * sum(l_extendedprice)) AS BIGINT)               AS sum_base_price_cents,
-       CAST(round(100 * sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS sum_disc_price_cents,
-       CAST(round(10000 * sum(l_quantity) / count(*)) AS BIGINT)       AS avg_qty_e4,
-       CAST(round(10000 * sum(l_extendedprice) / count(*)) AS BIGINT)  AS avg_price_e4,
-       CAST(round(1000000 * sum(l_discount) / count(*)) AS BIGINT)     AS avg_disc_e6,
-       count(*)                                         AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sum(qty_i) AS BIGINT)   AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(price_c * (100 - disc_c)) / 100.0) AS BIGINT)
+           AS sum_disc_price_cents,
+       CAST(round(10000.0 * sum(qty_i) / count(*)) AS BIGINT)  AS avg_qty_e4,
+       CAST(round(100.0 * sum(price_c) / count(*)) AS BIGINT)  AS avg_price_e4,
+       CAST(round(10000.0 * sum(disc_c) / count(*)) AS BIGINT) AS avg_disc_e6,
+       count(*) AS count_order
+FROM t GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -159,17 +198,21 @@ def q03_broadcast_join_agg(sf_dir: str):
     nation = _small(sf_dir, "nation", ["n_nationkey", "n_name"])
     dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
     orders = R.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: pa.table({"o_custkey": b["o_custkey"].combine_chunks(),
+                            "price_c": _cents(b["o_totalprice"])}),
+        batch_format="pyarrow")
     joined = R.broadcast_join(orders, dim.select(["c_custkey", "n_name"]),
                               keys="o_custkey", right_keys="c_custkey")
     agg = R.partial_groupby(joined, ["n_name"],
-                            [("o_totalprice", "sum", "revenue"),
-                             ("o_totalprice", "count", "n_orders")])
+                            [("price_c", "sum", "revenue_cents"),
+                             ("price_c", "count", "n_orders")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "n_name": batch["n_name"].combine_chunks(),
             "n_orders": batch["n_orders"].cast(pa.int64()),
-            "revenue_cents": _fx(batch["revenue"], 2),
+            "revenue_cents": batch["revenue_cents"].cast(pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -177,7 +220,8 @@ def q03_broadcast_join_agg(sf_dir: str):
 
 _SQL_Q03 = """
 SELECT n_name, count(*) AS n_orders,
-       CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+       CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation  ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -210,15 +254,19 @@ _SQL_Q05 = "SELECT DISTINCT lang, source FROM documents"
 def q06_count_by_group(sf_dir: str):
     """Combiner-style count/sum per group (SURVEY.md R4)."""
     ds = R.read_table(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"].combine_chunks(),
+                            "value_c": _cents(b["value"])}),
+        batch_format="pyarrow")
     agg = R.partial_groupby(ds, ["event_type"],
-                            [("value", "count", "n_events"),
-                             ("value", "sum", "total_value")])
+                            [("value_c", "count", "n_events"),
+                             ("value_c", "sum", "total_value_cents")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": batch["event_type"].combine_chunks(),
             "n_events": batch["n_events"].cast(pa.int64()),
-            "total_value_cents": _fx(batch["total_value"], 2),
+            "total_value_cents": batch["total_value_cents"].cast(pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -226,7 +274,8 @@ def q06_count_by_group(sf_dir: str):
 
 _SQL_Q06 = """
 SELECT event_type, count(*) AS n_events,
-       CAST(round(100 * sum(value)) AS BIGINT) AS total_value_cents
+       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT)
+           AS total_value_cents
 FROM events GROUP BY event_type
 """
 
@@ -299,22 +348,22 @@ def q10_window_hourly(sf_dir: str):
         return pa.table({
             "event_type": batch["event_type"].combine_chunks(),
             "hour": hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour,
-            "value": batch["value"].combine_chunks(),
+            "value_c": _cents(batch["value"]),
         })
 
     agg = R.partial_groupby(ds.map_batches(hourly, batch_format="pyarrow"),
                             ["event_type", "hour"],
-                            [("value", "count", "n_events"),
-                             ("value", "sum", "_sum_value")])
+                            [("value_c", "count", "n_events"),
+                             ("value_c", "sum", "_sum_value_c")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": batch["event_type"].combine_chunks(),
             "hour": batch["hour"].combine_chunks(),
             "n_events": batch["n_events"].cast(pa.int64()),
-            "avg_value_e4": _fx(
-                pc.divide(batch["_sum_value"],
-                          batch["n_events"].cast(pa.float64())), 4),
+            # e4 of the mean value = 100 × (exact cent sum) / n
+            "avg_value_e4": _int_ratio_fx(batch["_sum_value_c"],
+                                          batch["n_events"], 100.0),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -322,7 +371,8 @@ def q10_window_hourly(sf_dir: str):
 
 _SQL_Q10 = """
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
-       CAST(round(10000 * sum(value) / count(*)) AS BIGINT) AS avg_value_e4
+       CAST(round(100.0 * sum(CAST(round(100 * value) AS BIGINT)) / count(*))
+            AS BIGINT) AS avg_value_e4
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
@@ -358,19 +408,19 @@ def q13_monthly_orders(sf_dir: str):
         month = pc.floor_temporal(batch["o_orderdate"], unit="month")
         return pa.table({
             "month": month.combine_chunks() if isinstance(month, pa.ChunkedArray) else month,
-            "o_totalprice": batch["o_totalprice"].combine_chunks(),
+            "price_c": _cents(batch["o_totalprice"]),
         })
 
     agg = R.partial_groupby(ds.map_batches(monthly, batch_format="pyarrow"),
                             ["month"],
-                            [("o_totalprice", "count", "n_orders"),
-                             ("o_totalprice", "sum", "total_price")])
+                            [("price_c", "count", "n_orders"),
+                             ("price_c", "sum", "total_price_cents")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "month": batch["month"].combine_chunks(),
             "n_orders": batch["n_orders"].cast(pa.int64()),
-            "total_price_cents": _fx(batch["total_price"], 2),
+            "total_price_cents": batch["total_price_cents"].cast(pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -378,7 +428,8 @@ def q13_monthly_orders(sf_dir: str):
 
 _SQL_Q13 = """
 SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
-       CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS total_price_cents
+       CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+           AS total_price_cents
 FROM orders GROUP BY date_trunc('month', o_orderdate)
 """
 
@@ -386,18 +437,22 @@ FROM orders GROUP BY date_trunc('month', o_orderdate)
 def q14_hash_join_agg(sf_dir: str):
     """Bucketed hash join of two LARGE sides (one shuffle) + aggregate."""
     li = R.read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    li = li.map_batches(
+        lambda b: pa.table({"l_orderkey": b["l_orderkey"].combine_chunks(),
+                            "price_c": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
     orders = R.read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = R.hash_join(li, orders, "l_orderkey", "o_orderkey",
                          num_buckets=32)
     agg = R.partial_groupby(joined, ["o_orderpriority"],
-                            [("l_extendedprice", "count", "n_items"),
-                             ("l_extendedprice", "sum", "total")])
+                            [("price_c", "count", "n_items"),
+                             ("price_c", "sum", "total_cents")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "o_orderpriority": batch["o_orderpriority"].combine_chunks(),
             "n_items": batch["n_items"].cast(pa.int64()),
-            "total_cents": _fx(batch["total"], 2),
+            "total_cents": batch["total_cents"].cast(pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -405,7 +460,8 @@ def q14_hash_join_agg(sf_dir: str):
 
 _SQL_Q14 = """
 SELECT o_orderpriority, count(*) AS n_items,
-       CAST(round(100 * sum(l_extendedprice)) AS BIGINT) AS total_cents
+       CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT)
+           AS total_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -419,17 +475,21 @@ def q15_region_revenue(sf_dir: str):
     dim = cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"]) \
               .join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
     orders = R.read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: pa.table({"o_custkey": b["o_custkey"].combine_chunks(),
+                            "price_c": _cents(b["o_totalprice"])}),
+        batch_format="pyarrow")
     joined = R.broadcast_join(orders, dim.select(["c_custkey", "r_name"]),
                               keys="o_custkey", right_keys="c_custkey")
     agg = R.partial_groupby(joined, ["r_name"],
-                            [("o_totalprice", "count", "n_orders"),
-                             ("o_totalprice", "sum", "revenue")])
+                            [("price_c", "count", "n_orders"),
+                             ("price_c", "sum", "revenue_cents")])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "r_name": batch["r_name"].combine_chunks(),
             "n_orders": batch["n_orders"].cast(pa.int64()),
-            "revenue_cents": _fx(batch["revenue"], 2),
+            "revenue_cents": batch["revenue_cents"].cast(pa.int64()),
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
@@ -437,7 +497,8 @@ def q15_region_revenue(sf_dir: str):
 
 _SQL_Q15 = """
 SELECT r_name, count(*) AS n_orders,
-       CAST(round(100 * sum(o_totalprice)) AS BIGINT) AS revenue_cents
+       CAST(sum(CAST(round(100 * o_totalprice) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
