@@ -281,15 +281,16 @@ FROM events GROUP BY event_type
 
 
 def q07_anti_join(sf_dir: str):
-    """Anti join via broadcast key set — the resume/change-detection shape
-    (SURVEY.md R8). Customers with no pending ('P') order."""
+    """Anti join — the resume/change-detection shape (SURVEY.md R8).
+    Customers with no pending ('P') order. Size-gated: broadcast keys when
+    the distinct key count is small, bucketed shuffle otherwise — nothing
+    unbounded ever lands on the driver."""
     orders = R.read_table(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
     pending = orders.map_batches(
         lambda b: b.filter(pc.equal(b["o_orderstatus"], "P")),
         batch_format="pyarrow")
-    keys = R.column_key_set(pending, "o_custkey")
     cust = R.read_table(sf_dir, "customer", ["c_custkey", "c_name"])
-    return R.broadcast_anti(cust, "c_custkey", keys)
+    return R.anti_join(cust, "c_custkey", pending, "o_custkey")
 
 
 _SQL_Q07 = """
@@ -300,11 +301,12 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 
 
 def q08_semi_join_agg(sf_dir: str):
-    """Semi join via broadcast key set + groupby count."""
+    """Size-gated semi join + groupby count: the key side (every l_partkey —
+    an unbounded domain at scale) reduces to distinct keys via a keys-only
+    shuffle; broadcast or bucketed-shuffle semi by the gate."""
     li = R.read_table(sf_dir, "lineitem", ["l_partkey"])
-    keys = R.column_key_set(li, "l_partkey")
     part = R.read_table(sf_dir, "part", ["p_partkey", "p_brand"])
-    sem = R.broadcast_semi(part, "p_partkey", keys)
+    sem = R.semi_join(part, "p_partkey", li, "l_partkey")
     agg = R.partial_groupby(sem, ["p_brand"],
                             [("p_partkey", "count", "n_parts")])
     return agg.map_batches(

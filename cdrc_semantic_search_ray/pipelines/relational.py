@@ -19,13 +19,13 @@ generalizes those shapes into reusable, scale-aware operators:
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _SIDE_COL = "__side"
 _BUCKET_COL = "__bucket"
+_KEY_COL = "__key"
 
 
 def read_table(sf_dir: str, name: str, columns=None):
@@ -89,61 +89,83 @@ def column_key_set(ds, col: str) -> set:
     """Distinct values of one column, collected to the driver.
 
     Only for provably small key domains (dimension keys); the scale path for
-    big domains is ``hash_join``/semi with a shuffle instead.
-    """
+    big domains is :func:`semi_join` / :func:`anti_join`, which gate on the
+    distinct-key count and fall back to a bucketed shuffle."""
     out: set = set()
     for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow"):
         out.update(pc.unique(b[col].combine_chunks()).to_pylist())
     return out
 
 
+def _bucket_array(keys: pa.Array, num_buckets: int) -> pa.Array:
+    """Vectorized, process-stable bucket of a key array (int32).
+
+    Integers bucket by value; strings (and everything else) by pandas'
+    vectorized siphash (``pd.util.hash_array`` with its fixed default key —
+    deterministic across processes/nodes), the same kernel
+    ``stages/keyblocks.map_hash_blocks`` uses. Join keys must be non-null.
+    """
+    import pandas as pd
+
+    if pa.types.is_integer(keys.type):
+        h = keys.to_numpy().astype(np.int64, copy=False) % num_buckets
+        return pa.array(h.astype(np.int32))
+    np_keys = np.asarray(keys.cast(pa.string()).to_pylist(), dtype=object)
+    h = pd.util.hash_array(np_keys) % num_buckets
+    return pa.array(h.astype(np.int32))
+
+
 def hash_join(left, right, left_key: str, right_key: str,
               num_buckets: int = 64, join_type: str = "inner"):
     """Bucketed hash join for two LARGE datasets (one all-to-all shuffle).
 
-    Both sides are tagged and bucketed by crc32(key) % B, unioned, grouped by
-    bucket, and joined per bucket with a vectorized Acero join. Assumes any
-    single bucket fits in a worker's heap — raise ``num_buckets`` for bigger
-    data or skew.
+    Both sides are tagged and bucketed by ``hash(key) % B`` (vectorized, see
+    :func:`_bucket_array`), unioned under a shared ``__key`` column (only
+    PAYLOAD columns of the other side are null-padded — the key itself is
+    never duplicated), shuffled once on the int32 bucket, and joined per
+    block with a vectorized Acero join. Assumes any single bucket fits in a
+    worker's heap — raise ``num_buckets`` for bigger data or skew.
+
+    ``join_type``: any Acero type — ``inner``, ``left outer``, ``left
+    semi``, ``left anti`` (semi/anti return LEFT columns only).
     """
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
-    shared = (set(lcols) & set(rcols)) - {left_key}
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    lpay = [c for c in lcols if c != left_key]
+    rpay = [c for c in rcols if c != right_key]
+    shared = set(lpay) & set(rpay)
     if shared:
         raise ValueError(f"ambiguous columns: {shared}")
+    ltypes = dict(zip(left.schema().names, left.schema().types))
+    rtypes = dict(zip(right.schema().names, right.schema().types))
+    key_type = ltypes[left_key]
+    semi_or_anti = join_type in ("left semi", "left anti")
 
-    # build a unified nullable schema: left cols + right cols
-    lschema = left.schema()
-    rschema = right.schema()
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    all_cols = list(ltypes) + [c for c in rtypes if c not in ltypes]
+    def tag_side(side: int):
+        key = left_key if side == 0 else right_key
+        own = set(lpay if side == 0 else rpay)
 
-    def tag_side(side: int, types_self: dict):
         def fn(batch: pa.Table) -> pa.Table:
-            key = left_key if side == 0 else right_key
-            ks = batch[key].combine_chunks()
-            if pa.types.is_integer(ks.type):  # vectorized path
-                bucket = pa.array(ks.to_numpy() % num_buckets).cast(pa.int32())
-            else:
-                bucket = pa.array(
-                    [zlib.crc32(str(v).encode()) % num_buckets
-                     for v in ks.to_pylist()], type=pa.int32())
-            cols = {_BUCKET_COL: bucket,
-                    _SIDE_COL: pa.array([side] * len(batch), type=pa.int8())}
-            for c in all_cols:
-                if c in batch.column_names:
+            ks = batch[key].combine_chunks().cast(key_type)
+            cols = {
+                _BUCKET_COL: _bucket_array(ks, num_buckets),
+                _SIDE_COL: pa.array(np.full(len(batch), side, dtype=np.int8)),
+                _KEY_COL: ks,
+            }
+            for c in lpay + rpay:
+                if c in own:
                     cols[c] = batch[c].combine_chunks()
                 else:
-                    t = ltypes.get(c) or rtypes.get(c)
-                    cols[c] = pa.nulls(len(batch), t)
+                    cols[c] = pa.nulls(len(batch), ltypes.get(c, rtypes.get(c)))
             return pa.table(cols)
+
         return fn
 
-    tagged = left.map_batches(tag_side(0, ltypes), batch_format="pyarrow").union(
-        right.map_batches(tag_side(1, rtypes), batch_format="pyarrow"))
+    tagged = left.map_batches(tag_side(0), batch_format="pyarrow").union(
+        right.map_batches(tag_side(1), batch_format="pyarrow"))
 
-    out_cols = [c for c in all_cols]
+    out_cols = ([left_key] + lpay if semi_or_anti
+                else [left_key] + lpay + rpay)
 
     def join_block(block: pa.Table) -> pa.Table:
         """One vectorized Acero join per BLOCK: equal keys share a bucket
@@ -152,8 +174,10 @@ def hash_join(left, right, left_key: str, right_key: str,
         without a Python call per bucket."""
         side = block[_SIDE_COL]
         lmask = pc.equal(side, 0)
-        lt = block.filter(lmask).select(lcols)
-        rt = block.filter(pc.invert(lmask)).select(rcols)
+        lt = block.filter(lmask).select([_KEY_COL] + lpay) \
+                  .rename_columns([left_key] + lpay)
+        rt = block.filter(pc.invert(lmask)).select([_KEY_COL] + rpay) \
+                  .rename_columns([right_key] + rpay)
         joined = lt.join(rt, keys=[left_key], right_keys=[right_key],
                          join_type=join_type)
         # Acero may reorder; normalize column order
@@ -163,6 +187,42 @@ def hash_join(left, right, left_key: str, right_key: str,
     from ..stages.keyblocks import map_key_blocks
 
     return map_key_blocks(tagged, [_BUCKET_COL], join_block)
+
+
+def semi_join(large, key_col: str, keys_ds, keys_col: str,
+              broadcast_limit: int = 200_000, num_buckets: int = 64):
+    """Left-semi join of ``large`` against the distinct keys of ``keys_ds``.
+
+    Size-gated (SURVEY.md §7.3 broadcast-vs-shuffle decision): the key side
+    is reduced to its distinct keys first (a shuffle over KEYS ONLY, never
+    the large side); if the distinct count fits ``broadcast_limit`` the keys
+    broadcast (``ray.put`` once, vectorized ``is_in`` per batch — no
+    large-side shuffle at all), otherwise both sides take ONE bucketed
+    shuffle (``hash_join`` left semi) and nothing is ever collected on the
+    driver. Pass ``broadcast_limit=0`` to force the shuffle path."""
+    return _gated_semi_anti(large, key_col, keys_ds, keys_col,
+                            broadcast_limit, num_buckets, anti=False)
+
+
+def anti_join(large, key_col: str, keys_ds, keys_col: str,
+              broadcast_limit: int = 200_000, num_buckets: int = 64):
+    """Left-anti join (the resume/change-detection shape, SURVEY.md R8) —
+    same size gate as :func:`semi_join`."""
+    return _gated_semi_anti(large, key_col, keys_ds, keys_col,
+                            broadcast_limit, num_buckets, anti=True)
+
+
+def _gated_semi_anti(large, key_col, keys_ds, keys_col, broadcast_limit,
+                     num_buckets, anti: bool):
+    dk = distinct(keys_ds.select_columns([keys_col]), [keys_col]).materialize()
+    if dk.count() <= broadcast_limit:
+        keys: set = set()
+        for b in dk.iter_batches(batch_format="pyarrow"):
+            keys.update(b[keys_col].to_pylist())
+        return (broadcast_anti if anti else broadcast_semi)(
+            large, key_col, keys)
+    return hash_join(large, dk, key_col, keys_col, num_buckets=num_buckets,
+                     join_type="left anti" if anti else "left semi")
 
 
 # ---------------------------------------------------------------------------
