@@ -11,9 +11,12 @@ co-locates every node's label row with the edges leaving it (a tagged union
 instead of a join — every row is either a label row or an edge row, keyed by
 node), one that takes the min over proposed labels per node. Within a block
 everything is vectorized (arrow local hash-join + group_by min — see
-stages/keyblocks.py); labels only decrease, so a deterministic checksum (sum
-of crc32(node:label)) detects the fixpoint; rounds are bounded by
-``max_rounds`` (component diameter bounds the true round count).
+stages/keyblocks.py); each node's OLD label rides along as the tagged self
+proposal, so every round counts exactly how many labels changed (labels only
+decrease) — fixpoint ⟺ changed == 0, no collidable checksum. Rounds are
+bounded by ``max_rounds`` (component diameter bounds the true round count);
+exhausting the budget before the fixpoint raises (a silently split
+component would break the union-find equivalence guarantee).
 
 For star-shaped near-duplicate clusters this converges in 2 rounds. The
 representative of each component is its lexicographically smallest node id —
@@ -23,15 +26,15 @@ canonicalization agree exactly.
 
 from __future__ import annotations
 
-import zlib
-
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.keyblocks import group_aggregate, map_key_blocks
 
 _LABEL_SCHEMA = pa.schema([("node", pa.string()), ("label", pa.string())])
-_PROP_SCHEMA = pa.schema([("node", pa.string()), ("cand", pa.string())])
+_PROP_SCHEMA = pa.schema([("node", pa.string()), ("cand", pa.string()),
+                          ("is_self", pa.bool_())])
 
 
 def _arr(col) -> pa.Array:
@@ -51,16 +54,6 @@ def _init_labels(edges):
         return pa.table({"node": keys, "label": keys}, schema=_LABEL_SCHEMA)
 
     return map_key_blocks(cand, ["node"], uniq)
-
-
-def _checksum(labels) -> int:
-    def part(batch: pa.Table) -> pa.Table:
-        s = 0
-        for n, l in zip(batch["node"].to_pylist(), batch["label"].to_pylist()):
-            s += zlib.crc32(f"{n}:{l}".encode())
-        return pa.table({"c": pa.array([s], type=pa.int64())})
-
-    return int(labels.map_batches(part, batch_format="pyarrow").sum("c"))
 
 
 def _collapse_on_driver(edges):
@@ -101,7 +94,8 @@ def _collapse_on_driver(edges):
 
 
 def connected_components(edges, max_rounds: int = 16,
-                         driver_threshold: int = 2_000_000):
+                         driver_threshold: int = 2_000_000,
+                         strict: bool = True):
     """edges Dataset (a:string, b:string, ...) → labels Dataset (node, label).
 
     Only nodes that appear in at least one edge are returned (isolated nodes
@@ -112,6 +106,11 @@ def connected_components(edges, max_rounds: int = 16,
     (same result, none of the per-round shuffle overhead); larger ones run
     the distributed min-label propagation below. Pass ``driver_threshold=0``
     to force the distributed path (the conformance tests do).
+
+    If the round budget is exhausted before the exact fixpoint (changed
+    label count == 0), the labels are NOT union-find-equivalent: raises
+    RuntimeError when ``strict`` (default), else logs an error and returns
+    the non-converged labels.
     """
     if driver_threshold:
         edges = edges.materialize()
@@ -119,7 +118,6 @@ def connected_components(edges, max_rounds: int = 16,
             return _collapse_on_driver(edges)
 
     labels = _init_labels(edges).materialize()
-    prev = _checksum(labels)
 
     # symmetric edge view, reused every round
     def symmetrize(batch: pa.Table) -> pa.Table:
@@ -130,6 +128,7 @@ def connected_components(edges, max_rounds: int = 16,
         })
 
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    converged = False
 
     for _ in range(max_rounds):
         # tagged union: label rows (key=node, dst=null) + edge rows (key=src)
@@ -150,31 +149,55 @@ def connected_components(edges, max_rounds: int = 16,
 
         def propose(block: pa.Table) -> pa.Table:
             """Block holds, per node key, its (single) label row and every
-            outgoing edge. Proposals: (key → label) and (dst → label) —
-            a block-local vectorized hash join instead of per-group Python."""
+            outgoing edge. Proposals: (key → label, tagged is_self — the
+            node's OLD label) and (dst → label) — a block-local vectorized
+            hash join instead of per-group Python."""
             is_lab = pc.is_valid(block["label"])
             labs = block.filter(is_lab).select(["key", "label"])
             edge = block.filter(pc.invert(is_lab)).select(["key", "dst"])
-            self_rows = pa.table({"node": labs["key"], "cand": labs["label"]},
-                                 schema=_PROP_SCHEMA)
+            self_rows = pa.table(
+                {"node": labs["key"], "cand": labs["label"],
+                 "is_self": pa.array(np.ones(len(labs), dtype=bool))},
+                schema=_PROP_SCHEMA)
             if len(edge) == 0:
                 return self_rows
             joined = edge.join(labs, keys="key", join_type="inner")
             nbr_rows = pa.table(
-                {"node": joined["dst"], "cand": joined["label"]},
+                {"node": joined["dst"], "cand": joined["label"],
+                 "is_self": pa.array(np.zeros(len(joined), dtype=bool))},
                 schema=_PROP_SCHEMA)
             return pa.concat_tables([self_rows, nbr_rows])
 
         proposals = map_key_blocks(lab_rows.union(edge_rows), ["key"], propose)
 
         def take_min(block: pa.Table) -> pa.Table:
-            out = group_aggregate(block, ["node"], [("cand", "min")],
+            """New label = min proposal; changed ⟺ new ≠ the is_self (old)
+            proposal — an EXACT per-round change count, not a checksum."""
+            new = group_aggregate(block, ["node"], [("cand", "min")],
                                   rename={"cand_min": "label"})
-            return out.select(["node", "label"]).cast(_LABEL_SCHEMA)
+            old = block.filter(block["is_self"].combine_chunks()) \
+                       .select(["node", "cand"]) \
+                       .rename_columns(["node", "old"])
+            j = new.join(old, keys="node", join_type="inner")
+            changed = pc.cast(pc.not_equal(j["label"], j["old"]), pa.int64())
+            return pa.table({"node": j["node"], "label": j["label"],
+                             "changed": changed})
 
         labels = map_key_blocks(proposals, ["node"], take_min).materialize()
-        cur = _checksum(labels)
-        if cur == prev:
+        n_changed = labels.sum("changed") or 0
+        labels = labels.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            converged = True
             break
-        prev = cur
+
+    if not converged:
+        msg = (f"connected_components: round budget ({max_rounds}) exhausted "
+               "before fixpoint — a component with diameter > max_rounds "
+               "would get split labels; raise max_rounds (cfg."
+               "canon_max_rounds)")
+        if strict:
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).error(msg)
     return labels

@@ -275,54 +275,86 @@ def canonicalize(catalogue_path: str, cfg: EngineConfig = DEFAULT_CONFIG):
     return cat.map_batches(full_map, batch_format="pyarrow")
 
 
+def _compose_link_arrays(links: dict[str, str],
+                         canon: dict[str, str]) -> tuple[pa.Array, pa.Array]:
+    """links ∘ canon as parallel arrays: key[i] → val[i] where val is
+    already canonicalized. One composition pass instead of two lookups per
+    row, and arrays instead of dicts so resolution is a vectorized
+    ``pc.index_in`` + ``take`` per batch."""
+    keys = pa.array(list(links.keys()), type=pa.string())
+    vals = pa.array([canon.get(v, v) for v in links.values()],
+                    type=pa.string())
+    return keys, vals
+
+
+def _resolve_array(arr, keys: pa.Array, vals: pa.Array) -> pa.Array:
+    """Vectorized norm → canonical entity: hashtable probe (index_in) +
+    gather; misses become 'unk:<norm>' (string concat kernel)."""
+    col = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    idx = pc.index_in(col, value_set=keys)
+    hit = vals.take(idx)  # null where idx is null
+    unk = pc.binary_join_element_wise(pa.scalar("unk"), col, ":")
+    return pc.if_else(pc.is_valid(idx), hit, unk)
+
+
+def _resolved_table(batch: pa.Table, keys: pa.Array,
+                    vals: pa.Array) -> pa.Table:
+    return pa.table({
+        "conv_id": batch["conv_id"].combine_chunks(),
+        "turn_idx": batch["turn_idx"].combine_chunks(),
+        "subj": _resolve_array(batch["subj_norm"], keys, vals),
+        "pred": batch["pred"].combine_chunks(),
+        "obj": _resolve_array(batch["obj_norm"], keys, vals),
+    })
+
+
 class Resolver:
     """norm-level triples → canonical entity-level triples.
 
     Holds the broadcast link + canon maps (``ray.put`` once on the driver,
     ``ray.get`` once per actor) — the reference's metadata-lookup shape
-    (/root/reference/src/datastore.py:19-42) done as a hashed broadcast
-    lookup instead of a linear scan per record (SURVEY.md M5).
+    (/root/reference/src/datastore.py:19-42) done as a vectorized hashed
+    broadcast lookup instead of a linear scan per record (SURVEY.md M5).
+    The composed key/value arrays are built ONCE per actor in __init__.
     """
 
     def __init__(self, links_ref, canon_ref):
         import ray
 
-        self.links: dict[str, str] = ray.get(links_ref) if not isinstance(links_ref, dict) else links_ref
-        self.canon: dict[str, str] = ray.get(canon_ref) if not isinstance(canon_ref, dict) else canon_ref
-
-    def _resolve(self, norm: str) -> str:
-        e = self.links.get(norm, f"unk:{norm}")
-        return self.canon.get(e, e)
+        links: dict[str, str] = (ray.get(links_ref)
+                                 if not isinstance(links_ref, dict)
+                                 else links_ref)
+        canon: dict[str, str] = (ray.get(canon_ref)
+                                 if not isinstance(canon_ref, dict)
+                                 else canon_ref)
+        self.keys, self.vals = _compose_link_arrays(links, canon)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = [self._resolve(n) for n in batch["subj_norm"].to_pylist()]
-        obj = [self._resolve(n) for n in batch["obj_norm"].to_pylist()]
-        return pa.table({
-            "conv_id": batch["conv_id"].combine_chunks(),
-            "turn_idx": batch["turn_idx"].combine_chunks(),
-            "subj": pa.array(subj, type=pa.string()),
-            "pred": batch["pred"].combine_chunks(),
-            "obj": pa.array(obj, type=pa.string()),
-        })
+        return _resolved_table(batch, self.keys, self.vals)
+
+
+_RESOLVE_ARRAY_CACHE: list = []  # [(links, canon, keys, vals)] — 1 live entry
+
+
+def _resolve_arrays_cached(links: dict, canon: dict):
+    """Per-worker cache of the composed arrays for the task path: fn_kwargs
+    deserialize once per worker, so identity comparison is cheap and safe
+    (the cached entry keeps its source dicts alive — no id reuse)."""
+    for ent in _RESOLVE_ARRAY_CACHE:
+        if ent[0] is links and ent[1] is canon:
+            return ent[2], ent[3]
+    keys, vals = _compose_link_arrays(links, canon)
+    _RESOLVE_ARRAY_CACHE.clear()
+    _RESOLVE_ARRAY_CACHE.append((links, canon, keys, vals))
+    return keys, vals
 
 
 def resolve_batch(batch: pa.Table, *, links: dict, canon: dict) -> pa.Table:
     """Task-path resolver: the broadcast maps travel as fn_kwargs — Ray
-    puts them in the object store ONCE and every task reads the same copy."""
-
-    def _resolve(n: str) -> str:
-        e = links.get(n, f"unk:{n}")
-        return canon.get(e, e)
-
-    return pa.table({
-        "conv_id": batch["conv_id"].combine_chunks(),
-        "turn_idx": batch["turn_idx"].combine_chunks(),
-        "subj": pa.array([_resolve(n) for n in batch["subj_norm"].to_pylist()],
-                         type=pa.string()),
-        "pred": batch["pred"].combine_chunks(),
-        "obj": pa.array([_resolve(n) for n in batch["obj_norm"].to_pylist()],
-                        type=pa.string()),
-    })
+    puts them in the object store ONCE and every task reads the same copy;
+    per-batch work is a vectorized index_in + take."""
+    keys, vals = _resolve_arrays_cached(links, canon)
+    return _resolved_table(batch, keys, vals)
 
 
 def resolve_triples(triples_raw, links, canon_map,
@@ -414,9 +446,16 @@ _INLINE_RESOLVERS: dict = {}
 
 
 def _inline_resolver(catalogue: str, canon_items: tuple, cfg: EngineConfig):
-    key = (catalogue, cfg)
+    """Per-worker resolver cache. The key includes the catalogue file
+    signature AND the canon map itself: rewriting catalogue.parquet in place
+    or recomputing canon between runs on a warm cluster must rebuild, not
+    silently reuse stale state (round-1 ADVICE)."""
+    from ..stages.linker import _file_sig
+
+    key = (catalogue, _file_sig(catalogue), canon_items, cfg)
     r = _INLINE_RESOLVERS.get(key)
     if r is None:
+        _INLINE_RESOLVERS.clear()  # one live resolver per worker
         r = _INLINE_RESOLVERS[key] = _InlineResolver(
             catalogue, dict(canon_items), cfg)
     return r

@@ -73,13 +73,17 @@ def _iter_conversations(batch: pa.Table):
     """Yield (conv_id, [(turn_idx, text), ...]) per row, zero-copy-ish:
     works on the list offsets + flattened child arrays, no per-row dicts."""
     turns = batch["turns"].combine_chunks()
+    # offsets are absolute into the ORIGINAL values buffer while flatten()
+    # trims to the slice — rebase so sliced ListArrays (block slicing can
+    # produce non-zero array offsets) stay aligned (round-1 ADVICE).
     offsets = turns.offsets.to_numpy()
+    off0 = int(offsets[0])
     flat = turns.flatten()
     tidx = flat.field("turn_idx").to_numpy()
     texts = flat.field("text").to_pylist()
     conv_ids = batch["conv_id"].to_pylist()
     for i, conv in enumerate(conv_ids):
-        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        lo, hi = int(offsets[i]) - off0, int(offsets[i + 1]) - off0
         yield conv, [(int(tidx[j]), texts[j]) for j in range(lo, hi)]
 
 

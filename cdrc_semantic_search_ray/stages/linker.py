@@ -106,10 +106,25 @@ def _link_table(batch: pa.Table, exact: dict, ids: list, mat: np.ndarray,
     return pa.table(out, schema=LINK_SCHEMA)
 
 
+def _file_sig(path: str) -> tuple[int, int]:
+    """(mtime_ns, size) content signature — part of every per-worker cache
+    key so an in-place rewrite of the catalogue between runs on a warm
+    cluster can never silently reuse a stale index."""
+    import os
+
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
 @functools.lru_cache(maxsize=4)
-def _cached_index(catalogue_path: str):
-    """Index build once per worker PROCESS (task path; workers are reused)."""
+def _cached_index_sig(catalogue_path: str, sig: tuple):
     return load_catalogue_index(catalogue_path)
+
+
+def _cached_index(catalogue_path: str):
+    """Index build once per worker PROCESS (task path; workers are reused),
+    keyed by path + file signature."""
+    return _cached_index_sig(catalogue_path, _file_sig(catalogue_path))
 
 
 def link_batch(batch: pa.Table, *, catalogue: str, top_k: int = 1,

@@ -114,7 +114,11 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
             fn_kwargs={"links": link_map, "canon": canon},
             batch_format="pyarrow", batch_size=cfg.batch_size)
         resolved.write_parquet(str(dst))
-        rows = resolved.count()
+        # row counts from the written parquet FOOTERS — calling .count() on
+        # the lazy Dataset would re-execute the whole resolve pipeline
+        # (round-1 ADVICE), footers are metadata-only
+        rows = sum(pa.parquet.read_metadata(f).num_rows
+                   for f in dst.glob("*.parquet"))
         man.record("triples", p, rows, wall_s=time.time() - t0)
     if not man.stage_done("triples") and not man.pending(
             "triples", range(num_parts)):
