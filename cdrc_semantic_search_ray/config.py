@@ -38,6 +38,10 @@ class EngineConfig:
     #                                entirely on the driver (same blocking/
     #                                pair/UF code, zero Ray jobs)
     provenance_cap: int = 8        # provenance samples kept per edge
+    resolve_broadcast_limit: int = 5_000_000  # link tables <= this broadcast
+    #                                to workers; larger ones resolve via the
+    #                                bucketed shuffle path (kg.py:
+    #                                resolve_triples_shuffled)
 
     # ---- execution sizing --------------------------------------------------
     use_actor_pools: bool = False  # True = model stages run as actor pools

@@ -19,9 +19,10 @@ by bench.py — parity between the two is test-enforced.
 Broadcast-vs-shuffle decisions (documented per SURVEY.md §7.3): the link map
 (distinct mention norms → entity) and canon map (catalogue-sized) are SMALL
 sides — they ship to workers once (``fn_kwargs`` / ``ray.put``), so triple
-resolution needs no shuffle. If distinct norms outgrew worker memory the
-resolve step would switch to the bucketed hash join in
-``pipelines/relational.py`` (same semantics, one extra shuffle).
+resolution needs no shuffle. When distinct norms outgrow
+``cfg.resolve_broadcast_limit``, :func:`resolve_triples` switches to
+:func:`resolve_triples_shuffled` — bucketed hash joins, nothing collected
+on the driver (same semantics, parity-tested).
 """
 
 from __future__ import annotations
@@ -357,9 +358,86 @@ def resolve_batch(batch: pa.Table, *, links: dict, canon: dict) -> pa.Table:
     return _resolved_table(batch, keys, vals)
 
 
+def resolve_triples_shuffled(triples_raw, links, canon_map,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             num_buckets: int = 64):
+    """Big-link-map resolve: NOTHING is collected on the driver.
+
+    The scale path promised by the module docstring: when the distinct-norm
+    domain outgrows worker memory, compose links ∘ canon with one bucketed
+    left-outer hash join (both sides are norm/catalogue-sized), then stream
+    the triples past the composed map with two more bucketed joins (subj,
+    obj). Unmatched norms become ``unk:<norm>`` exactly as the broadcast
+    path does. Only rank-0 link rows participate (top-1 semantics), so the
+    joins never fan out rows.
+    """
+    from .relational import hash_join
+
+    top1 = links.map_batches(
+        lambda b: b.filter(pc.equal(b["rank"], 0))
+                   .select(["norm", "entity_id"]),
+        batch_format="pyarrow")
+    composed = hash_join(top1, canon_map, "entity_id", "entity_key",
+                         num_buckets=num_buckets, join_type="left outer")
+
+    def _ent(b: pa.Table) -> pa.Table:
+        ent = pc.if_else(pc.is_valid(b["canonical_id"]),
+                         b["canonical_id"], b["entity_id"])
+        return pa.table({"norm": b["norm"].combine_chunks(), "ent": ent})
+
+    lmap = composed.map_batches(_ent, batch_format="pyarrow").materialize()
+
+    five = triples_raw.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "subj_norm", "pred",
+                            "obj_norm"]),
+        batch_format="pyarrow")
+    j1 = hash_join(five, lmap, "subj_norm", "norm",
+                   num_buckets=num_buckets, join_type="left outer")
+
+    def _subj(b: pa.Table) -> pa.Table:
+        sn = b["subj_norm"].combine_chunks()
+        subj = pc.if_else(
+            pc.is_valid(b["ent"]), b["ent"],
+            pc.binary_join_element_wise(pa.scalar("unk"), sn, ":"))
+        return pa.table({
+            "conv_id": b["conv_id"].combine_chunks(),
+            "turn_idx": b["turn_idx"].combine_chunks(),
+            "subj": subj,
+            "pred": b["pred"].combine_chunks(),
+            "obj_norm": b["obj_norm"].combine_chunks(),
+        })
+
+    j2 = hash_join(j1.map_batches(_subj, batch_format="pyarrow"), lmap,
+                   "obj_norm", "norm", num_buckets=num_buckets,
+                   join_type="left outer")
+
+    def _obj(b: pa.Table) -> pa.Table:
+        on = b["obj_norm"].combine_chunks()
+        obj = pc.if_else(
+            pc.is_valid(b["ent"]), b["ent"],
+            pc.binary_join_element_wise(pa.scalar("unk"), on, ":"))
+        return pa.table({
+            "conv_id": b["conv_id"].combine_chunks(),
+            "turn_idx": b["turn_idx"].combine_chunks(),
+            "subj": b["subj"].combine_chunks(),
+            "pred": b["pred"].combine_chunks(),
+            "obj": obj,
+        })
+
+    return j2.map_batches(_obj, batch_format="pyarrow")
+
+
 def resolve_triples(triples_raw, links, canon_map,
                     cfg: EngineConfig = DEFAULT_CONFIG):
-    """Join triples to the (small) link + canon maps via broadcast."""
+    """Join triples to the link + canon maps.
+
+    Size-gated: link tables up to ``cfg.resolve_broadcast_limit`` rows
+    broadcast (collected once, shipped to workers once, vectorized lookup);
+    larger ones switch to :func:`resolve_triples_shuffled` and the driver
+    never holds the map."""
+    links = links.materialize()
+    if links.count() > cfg.resolve_broadcast_limit:
+        return resolve_triples_shuffled(triples_raw, links, canon_map, cfg)
     link_map: dict[str, str] = {}
     for batch in links.iter_batches(batch_format="pyarrow"):
         link_map.update(zip(batch["norm"].to_pylist(),
