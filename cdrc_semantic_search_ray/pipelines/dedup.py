@@ -97,12 +97,23 @@ def exact_dedup(docs):
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def _band_key_strings(group_no: np.ndarray, vals: np.ndarray) -> pa.Array:
+    """'<band>:<val>' string keys via arrow cast+join kernels (no per-row
+    Python string building)."""
+    g = pa.array(group_no).cast(pa.string())
+    v = pa.array(vals).cast(pa.string())
+    return pc.binary_join_element_wise(g, v, ":")
+
+
 class MinHashSketcher:
     """Minhash permutation params built once, signatures per batch.
 
     Usable as an actor class OR via :func:`minhash_sketch_batch` (task path
     with a per-worker cache) — the same state-loading seam as the KG model
-    stages (stages/annotate.py)."""
+    stages (stages/annotate.py). Whole-batch vectorized (round 2): shingle
+    codes are sliding-window views, signatures one universal-hash pass with
+    ``np.minimum.reduceat`` (functions/hashing.py), band keys an FNV fold —
+    no per-doc Python in the hash path."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16,
                  shingle_k: int = 5, seed: int = 42):
@@ -111,19 +122,25 @@ class MinHashSketcher:
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, keys, sigs = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            sig = H.minhash_signature(H.char_shingles(text, self.k),
-                                      self.a, self.b)
-            for key in H.band_keys(sig, self.bands):
-                ids.append(doc_id)
-                keys.append(key)
-                sigs.append(sig.tobytes())
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "block_key": pa.array([], pa.string()),
+                             "sig": pa.array([], pa.binary())})
+        codes = [H.char_shingle_codes(t, self.k) for t in texts]
+        sigs = H.minhash_signatures_batch(codes, self.a, self.b)
+        band_vals = H.band_key_values(sigs, self.bands)  # (n, bands)
+        bands = band_vals.shape[1]
+        doc_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        keys = _band_key_strings(
+            np.tile(np.arange(bands, dtype=np.int64), n),
+            band_vals.reshape(-1))
+        sig_arr = pa.array([s.tobytes() for s in sigs], type=pa.binary())
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "block_key": pa.array(keys, type=pa.string()),
-            "sig": pa.array(sigs, type=pa.binary()),
+            "doc_id": batch["doc_id"].combine_chunks().take(doc_idx),
+            "block_key": keys,
+            "sig": sig_arr.take(doc_idx),
         })
 
 
@@ -166,8 +183,8 @@ def minhash_lsh_dedup(docs, num_perm: int = 64, bands: int = 16,
         b = block.sort_by([("block_key", "ascending"),
                            ("doc_id", "ascending")])
         ids_all = b["doc_id"].to_numpy()
-        sig_mat = np.vstack([np.frombuffer(s, dtype=np.uint64)
-                             for s in b["sig"].to_pylist()])
+        sig_mat = np.frombuffer(b"".join(b["sig"].to_pylist()),
+                                dtype=np.uint64).reshape(len(b), -1)
         bounds = np.append(run_starts(b, ["block_key"]), len(b))
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             n = min(int(hi - lo), max_block)
@@ -203,18 +220,28 @@ def simhash_dedup(docs, max_hamming: int = 6, chunks: int = 4,
     """
 
     def sketch(batch: pa.Table) -> pa.Table:
-        ids, keys, hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            h = H.simhash64(text.casefold().split())
-            for key in H.simhash_chunk_keys(h, chunks):
-                ids.append(doc_id)
-                keys.append(key)
-                hashes.append(h)
+        """Batch SimHash (bit-identical to per-doc simhash64 — parity
+        tested) + vectorized pigeonhole chunk keys."""
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "block_key": pa.array([], pa.string()),
+                             "h": pa.array([], pa.uint64())})
+        hs = H.simhash64_batch(texts)  # (n,) uint64
+        bits = 64 // chunks
+        mask = np.uint64((1 << bits) - 1)
+        piece = np.empty((n, chunks), dtype=np.uint64)
+        for i in range(chunks):  # chunks is 4; docs axis vectorized
+            piece[:, i] = np.right_shift(hs, np.uint64(i * bits)) & mask
+        doc_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), chunks))
+        keys = _band_key_strings(
+            np.tile(np.arange(chunks, dtype=np.int64), n),
+            piece.reshape(-1))
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "block_key": pa.array(keys, type=pa.string()),
-            "h": pa.array(hashes, type=pa.uint64()),
+            "doc_id": batch["doc_id"].combine_chunks().take(doc_idx),
+            "block_key": keys,
+            "h": pa.array(hs, type=pa.uint64()).take(doc_idx),
         })
 
     blocks = docs.map_batches(sketch, batch_format="pyarrow")
@@ -267,18 +294,21 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
     """
 
     def sketch(batch: pa.Table) -> pa.Table:
-        ids, keys, sets_ = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
-            grams = H.word_ngrams(text, n)
-            arr = np.fromiter(grams, dtype=np.int64, count=len(grams))
-            arr.sort()
+        """Whole-batch gram hashing (factorize + mix, see
+        functions/hashing.py); only per-doc slicing/unique stays in Python."""
+        texts = batch["text"].to_pylist()
+        gram_arrays = H.word_ngram_codes_batch(texts, n)
+        ids_src = batch["doc_id"].combine_chunks()
+        doc_idx, keys, sets_ = [], [], []
+        for i, arr in enumerate(gram_arrays):
+            arr = np.sort(arr)
+            payload = arr.tobytes()
             for key in arr[:num_blocks]:
-                ids.append(doc_id)
+                doc_idx.append(i)
                 keys.append(str(key))
-                sets_.append(arr.tobytes())
+                sets_.append(payload)
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": ids_src.take(pa.array(doc_idx, type=pa.int64())),
             "block_key": pa.array(keys, type=pa.string()),
             "grams": pa.array(sets_, type=pa.binary()),
         })
@@ -286,6 +316,19 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
     blocks = docs.map_batches(sketch, batch_format="pyarrow")
 
     from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def _block_jaccard(gsets: list[np.ndarray]) -> np.ndarray:
+        """Pairwise exact Jaccard of sorted-unique gram arrays via ONE
+        incidence matmul: |A∩B| = M·Mᵀ, |A∪B| = |A|+|B|−|A∩B|."""
+        k = len(gsets)
+        lens = np.array([len(g) for g in gsets], dtype=np.int64)
+        allg = np.concatenate(gsets)
+        uniq, inv = np.unique(allg, return_inverse=True)
+        m = np.zeros((k, len(uniq)), dtype=np.float32)
+        m[np.repeat(np.arange(k), lens), inv] = 1.0
+        inter = m @ m.T
+        union = lens[:, None] + lens[None, :] - inter
+        return inter / np.maximum(union, 1)
 
     def pairs(block: pa.Table) -> pa.Table:
         out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
@@ -297,22 +340,19 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
         grams_all = b["grams"].to_pylist()
         bounds = np.append(run_starts(b, ["block_key"]), len(b))
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            n = min(int(hi - lo), max_block)
-            if n < 2:
+            k = min(int(hi - lo), max_block)
+            if k < 2:
                 continue
-            ids = ids_all[lo:lo + n]
-            gsets = [set(np.frombuffer(g, dtype=np.int64).tolist())
-                     for g in grams_all[lo:lo + n]]
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if ids[i] == ids[j]:
-                        continue
-                    jac = H.jaccard(gsets[i], gsets[j])
-                    if jac >= tau:
-                        a, bb = sorted((int(ids[i]), int(ids[j])))
-                        out["doc_id_a"].append(a)
-                        out["doc_id_b"].append(bb)
-                        out["jaccard"].append(round(jac, 6))
+            ids = ids_all[lo:lo + k]
+            gsets = [np.frombuffer(g, dtype=np.uint64)
+                     for g in grams_all[lo:lo + k]]
+            jac = _block_jaccard(gsets)
+            ii, jj = np.where(np.triu(jac >= tau, k=1))
+            keep = ids[ii] != ids[jj]
+            ii, jj = ii[keep], jj[keep]
+            out["doc_id_a"].extend(np.minimum(ids[ii], ids[jj]).tolist())
+            out["doc_id_b"].extend(np.maximum(ids[ii], ids[jj]).tolist())
+            out["jaccard"].extend(np.round(jac[ii, jj], 6).tolist())
         return _pair_table(out, [("jaccard", pa.float64())])
 
     cand = map_key_blocks(blocks, ["block_key"], pairs)
