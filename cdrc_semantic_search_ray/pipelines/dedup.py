@@ -362,40 +362,70 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-def embedding_neardup_exact(embeddings, tau: float = 0.40):
+def _list_matrix(batch: pa.Table, col: str,
+                 dtype=np.float64) -> np.ndarray:
+    """Zero-loop (N, D) matrix from a fixed-width list column."""
+    arr = batch[col].combine_chunks()
+    return arr.flatten().to_numpy().reshape(len(batch), -1).astype(dtype)
+
+
+def embedding_neardup(embeddings, tau: float = 0.40,
+                      exact_limit: int = 100_000):
+    """Size-gated dispatcher (the registered default): exact all-pairs
+    cosine at or below ``exact_limit`` rows, the LSH-blocked sub-quadratic
+    path above it (recall-tested against exact in tests/)."""
+    embeddings = embeddings.materialize()
+    if embeddings.count() <= exact_limit:
+        return embedding_neardup_exact(embeddings, tau,
+                                       max_driver_rows=exact_limit)
+    return embedding_neardup_lsh(embeddings, tau).select_columns(
+        ["vec_id_a", "vec_id_b"])
+
+
+def embedding_neardup_exact(embeddings, tau: float = 0.40,
+                            max_driver_rows: int = 250_000):
     """EXACT cosine near-dup pairs over an embedding column.
 
     Each batch computes batch×ALL similarities against a broadcast
     row-normalized matrix (float64 matmul — matches the DuckDB oracle) and
-    emits i<j pairs above tau. O(N·B) memory per task; the sub-quadratic
-    scale path is :func:`embedding_neardup_lsh`.
-    Returns (vec_id_a, vec_id_b) — ids only, so the correctness hash does not
-    depend on float formatting.
+    emits i<j pairs above tau. O(N·B) memory per task. The broadcast matrix
+    is built by STREAMING batches on the driver and HARD-GATED at
+    ``max_driver_rows`` — beyond that this baseline is the wrong tool and
+    raises, pointing at :func:`embedding_neardup_lsh` (the sub-quadratic
+    scale path) / the :func:`embedding_neardup` dispatcher.
+    Returns (vec_id_a, vec_id_b) — ids only, so the correctness hash does
+    not depend on float formatting.
     """
     import ray
 
-    full = embeddings.to_pandas()
-    ids_all = full["vec_id"].to_numpy()
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    ids_parts, mat_parts = [], []
+    n = 0
+    for b in embeddings.iter_batches(batch_format="pyarrow"):
+        n += len(b)
+        if n > max_driver_rows:
+            raise ValueError(
+                f"embedding_neardup_exact: > {max_driver_rows} rows — the "
+                "O(N·B) broadcast baseline does not scale there; use "
+                "embedding_neardup_lsh (or the embedding_neardup dispatcher)")
+        ids_parts.append(np.asarray(b["vec_id"].to_numpy()))
+        mat_parts.append(_list_matrix(b, "embedding"))
+    ids_all = np.concatenate(ids_parts)
+    mat = np.vstack(mat_parts)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids_all, mat))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_a, big = ray.get(ref)
         ids = np.asarray(batch["vec_id"].to_numpy())
-        q = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["embedding"].to_pylist()])
+        q = _list_matrix(batch, "embedding")
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         sims = q @ big.T
         ii, jj = np.where(sims >= tau)
-        out_a, out_b = [], []
-        for i, j in zip(ii.tolist(), jj.tolist()):
-            a, b = int(ids[i]), int(ids_a[j])
-            if a < b:  # i<j canonical; also drops self-pairs
-                out_a.append(a)
-                out_b.append(b)
-        return pa.table({"vec_id_a": pa.array(out_a, type=pa.int64()),
-                         "vec_id_b": pa.array(out_b, type=pa.int64())})
+        a = ids[ii]
+        b2 = ids_a[jj]
+        keep = a < b2  # i<j canonical; also drops self-pairs
+        return pa.table({"vec_id_a": pa.array(a[keep], type=pa.int64()),
+                         "vec_id_b": pa.array(b2[keep], type=pa.int64())})
 
     return embeddings.map_batches(pairs, batch_format="pyarrow")
 
@@ -410,8 +440,7 @@ def embedding_neardup_lsh(embeddings, tau: float = 0.40):
     cfg = EngineConfig(embed_dim=dim, canon_tau=tau, lsh_bands=16, lsh_rows=4)
 
     def to_nodes(batch: pa.Table) -> pa.Table:
-        q = np.stack([np.asarray(v, dtype=np.float32)
-                      for v in batch["embedding"].to_pylist()])
+        q = _list_matrix(batch, "embedding", dtype=np.float32)
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         return pa.table({
             "node_id": pa.array([f"{v:08d}" for v in batch["vec_id"].to_pylist()],

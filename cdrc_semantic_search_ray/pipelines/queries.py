@@ -6,8 +6,11 @@ return a Dataset/DataFrame/Table whose row set, schema and column NAMES match
 ``ORACLE_SQL[name]`` run by DuckDB on the same parquet (order-insensitive
 value hash). Queries without an oracle entry are non-SQL-expressible
 (KG stages over synthetic transcripts, LSH/minhash approximations, stubs) and
-get the driver's rows-only check; their correctness is covered by pytest
-instead (tests/).
+get the driver's rows-only check; each has a named pytest instead: KG family
+→ tests/test_golden.py + test_kg_pipeline.py; q18/q19/q20 →
+tests/test_dedup_family.py (brute-force ground truth); q22/q24 recall vs
+their exact baselines, q28 accuracy, q29 determinism →
+tests/test_similarity_family.py.
 
 Float discipline (hash parity with DuckDB):
 - monetary/value columns are cast to EXACT int64 fixed-point (``_cents``:
@@ -579,7 +582,8 @@ def q20_ngram_jaccard_dedup(sf_dir: str):  # rows-only (approximate by design)
 
 
 def q21_embedding_neardup(sf_dir: str):
-    return D.embedding_neardup_exact(
+    # size-gated dispatcher: exact all-pairs at oracle scales, LSH beyond
+    return D.embedding_neardup(
         R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), tau=0.40)
 
 

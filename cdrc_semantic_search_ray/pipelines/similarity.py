@@ -71,8 +71,10 @@ def _merge_topk(partials, k: int):
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64)
-                     for v in batch[col].to_pylist()])
+    """Zero-loop (N, D) matrix from a fixed-width list column."""
+    arr = batch[col].combine_chunks()
+    return arr.flatten().to_numpy().reshape(len(batch), -1) \
+              .astype(np.float64)
 
 
 def topk_bruteforce(embeddings, query_ids: list[int], k: int = 5):
@@ -118,11 +120,14 @@ def topk_bruteforce(embeddings, query_ids: list[int], k: int = 5):
 
 
 def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
-             n_bits: int = 4, probes: int = 2, seed: int = 42):
+             n_bits: int = 4, probes: int = 4, seed: int = 42):
     """IVF-ish approximate top-k: corpus bucketed by SRP sign bits; each
-    query scores only its ``probes`` nearest buckets (by hyperplane margin).
+    query scores only its ``probes`` nearest buckets (true multiprobe: every
+    bucket ranked by the summed |margin| of its sign disagreements — the
+    base bucket has cost 0, near-boundary flips come next).
 
-    Same output schema as :func:`topk_bruteforce`; recall < 1 by design.
+    Same output schema as :func:`topk_bruteforce`; recall < 1 by design —
+    ``probes``/2^``n_bits`` is the scanned corpus fraction knob.
     """
     import ray
 
@@ -135,16 +140,15 @@ def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
     dim = q_mat.shape[1]
     planes = _planes(dim, n_bits, seed).astype(np.float64)
 
-    # per-query probe buckets: flip the lowest-|margin| bits
-    proj = q_mat @ planes
-    base = (proj >= 0).astype(np.int64) @ (1 << np.arange(n_bits))
-    weakest = np.argsort(np.abs(proj), axis=1)[:, :max(0, probes - 1)]
-    probe_sets = []
-    for qi in range(len(q_ids)):
-        buckets = {int(base[qi])}
-        for b in weakest[qi]:
-            buckets.add(int(base[qi]) ^ (1 << int(b)))
-        probe_sets.append(buckets)
+    # rank ALL 2^n_bits buckets per query by mismatch cost (multiprobe)
+    proj = q_mat @ planes  # (Q, n_bits)
+    all_buckets = np.arange(1 << n_bits)
+    bucket_bits = (all_buckets[:, None] >> np.arange(n_bits)) & 1  # (B, nb)
+    sign = (proj >= 0).astype(np.int64)
+    cost = (np.abs(proj)[:, None, :]
+            * (bucket_bits[None, :, :] != sign[:, None, :])).sum(axis=2)
+    order = np.argsort(cost, axis=1)[:, :probes]  # (Q, probes)
+    probe_sets = [set(order[qi].tolist()) for qi in range(len(q_ids))]
     ref = ray.put((q_ids, q_mat, probe_sets))
 
     def bucketize(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,131 @@
+"""Conformance for the approximate similarity family and stubbed stages
+(round-2 item: q22/q24/q28/q29 previously had no check).
+
+All inputs are the driver's deterministic sf0.001 tables or fixed fixtures,
+so thresholds assert measured, reproducible values with margin — nothing is
+random at test time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cdrc_semantic_search_ray.pipelines import dedup as D
+from cdrc_semantic_search_ray.pipelines import relational as R
+from cdrc_semantic_search_ray.pipelines import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb():
+    return R.read_table(SF_DIR, "embeddings", ["vec_id", "embedding"])
+
+
+def test_lsh_neardup_recall_vs_exact(ray_session):
+    """q22's LSH path against q21's exact baseline: per-block verification
+    is exact cosine, so precision is (near-)perfect; banded SRP blocking
+    must keep recall high (measured 0.95 at sf0.001)."""
+    exact = D.embedding_neardup_exact(_emb(), tau=0.40).to_pandas()
+    lsh = D.embedding_neardup_lsh(_emb(), tau=0.40).to_pandas()
+    pe = set(zip(exact.vec_id_a, exact.vec_id_b))
+    pl = set(zip(lsh.vec_id_a, lsh.vec_id_b))
+    assert len(pe) > 20, "fixture data must contain near-dup pairs"
+    assert pl <= pe  # exact verify ⇒ no false positives
+    assert len(pe & pl) / len(pe) >= 0.85
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    """q24's multiprobe IVF against q23's exact top-k: probes=4 of 16
+    buckets scans ~25% of the corpus; measured recall 0.54 at sf0.001 —
+    assert comfortably above the random-scan floor (0.25)."""
+    bt = S.topk_bruteforce(_emb(), list(range(10)), 5).to_pandas()
+    iv = S.topk_ivf(_emb(), list(range(10)), 5).to_pandas()
+    sb = set(zip(bt.query_id, bt.neighbor_id))
+    si = set(zip(iv.query_id, iv.neighbor_id))
+    assert len(sb) == 50
+    assert len(sb & si) / len(sb) >= 0.40
+
+
+def test_embedding_neardup_gate(ray_session):
+    """The dispatcher must route oversized inputs AWAY from the broadcast
+    baseline, and the baseline itself must refuse to materialize them."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    tab = pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array(rng.standard_normal((64, 8)).tolist(),
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tab)
+
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        D.embedding_neardup_exact(ds, tau=0.9, max_driver_rows=10).to_pandas()
+
+    routed = D.embedding_neardup(rd.from_arrow(tab), tau=0.9,
+                                 exact_limit=10).to_pandas()
+    direct = D.embedding_neardup_lsh(rd.from_arrow(tab), tau=0.9).to_pandas()
+    assert sorted(routed.columns) == ["vec_id_a", "vec_id_b"]
+    assert (sorted(zip(routed.vec_id_a, routed.vec_id_b))
+            == sorted(zip(direct.vec_id_a, direct.vec_id_b)))
+
+
+_LANG_SAMPLES = [
+    ("en", "the cat and the dog sat in the garden of the house"),
+    ("en", "this is a test of the language id and it is simple"),
+    ("es", "el perro y la casa de la ciudad que es muy grande y un poco"),
+    ("es", "la vida es un sueño y el mundo que vemos en la calle"),
+    ("de", "der hund und die katze sind nicht in das haus und der garten"),
+    ("de", "das ist ein test und die antwort ist nicht schwer der satz"),
+    ("fr", "le chien et la maison de la ville est un grand que nous"),
+    ("fr", "la vie est un rêve et le monde que nous voyons est beau"),
+    ("zh", "这是一个中文句子 用于测试语言识别"),
+]
+
+
+def test_langid_accuracy_on_labelled_fixture(ray_session):
+    """q28's operator scored against genuinely language-distinct text (the
+    documents table's lang column does not correlate with its synthetic
+    vocabulary, so the check lives on a labelled fixture)."""
+    import ray.data as rd
+
+    from cdrc_semantic_search_ray.pipelines.text import language_id
+
+    tab = pa.table({
+        "doc_id": pa.array(range(len(_LANG_SAMPLES)), pa.int64()),
+        "text": pa.array([t for _, t in _LANG_SAMPLES], pa.string()),
+    })
+    got = language_id(rd.from_arrow(tab)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = [lang for lang, _ in _LANG_SAMPLES]
+    acc = float(np.mean(got["lang_pred"] == want))
+    assert acc == 1.0, list(zip(want, got["lang_pred"]))
+    assert (got["confidence"] > 0).all()
+
+
+def test_langid_deterministic_on_documents(ray_session):
+    from cdrc_semantic_search_ray.pipelines.queries import QUERIES
+
+    a = QUERIES["q28_langid"](SF_DIR).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = QUERIES["q28_langid"](SF_DIR).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.columns) == {"doc_id", "lang_pred", "confidence"}
+
+
+def test_multimodal_features_deterministic_schema(ray_session):
+    """q29: stubbed decode must be deterministic with a stable schema —
+    the Ray-side plumbing (binary columns, actor stage, layout) is real."""
+    from cdrc_semantic_search_ray.pipelines.queries import QUERIES
+
+    a = QUERIES["q29_multimodal_features"](SF_DIR).to_pandas()
+    b = QUERIES["q29_multimodal_features"](SF_DIR).to_pandas()
+    key = sorted(a.columns)
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
