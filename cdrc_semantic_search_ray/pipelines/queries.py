@@ -673,38 +673,47 @@ def q28_langid(sf_dir: str):  # rows-only (heuristic model stand-in)
 
 
 def q29_multimodal_features(sf_dir: str):  # rows-only (stubbed decode)
-    payloads = MM.synthesize_payloads(
-        R.read_table(sf_dir, "documents", ["doc_id", "text"]))
-    return MM.decode_features(payloads)
+    """Real binary-file ingestion: documents → payload files on disk →
+    ``ray.data.read_binary_files`` (sources/binary.py) → actor-pool decode.
+    The on-disk hop exercises the actual source operator (round-2 item:
+    synthesize_payloads was a stand-in)."""
+    from ..sources.binary import read_payload_files, write_payload_files
+
+    out = Path(f"/tmp/cdrc_payloads_{Path(sf_dir).name}")
+    write_payload_files(
+        R.read_table(sf_dir, "documents", ["doc_id", "text"]), out)
+    return MM.decode_features(read_payload_files(out))
 
 
-def q30_log_mining(sf_dir: str):
-    """The reference's full log-mining flow (SURVEY.md E3: M1 regex extract
-    → M2 normalize → R4 count → R5 sort desc → R6 limit), over documents."""
-    import re
-
-    ds = R.read_table(sf_dir, "documents", ["text"])
-    pat = re.compile(r"[a-z]{5,}")
-
-    def extract_count(batch: pa.Table) -> pa.Table:
-        # flat-map + per-batch combiner in one pass
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(pat.findall(t))
-        return pa.table({"query": pa.array(list(c.keys()), type=pa.string()),
-                         "n": pa.array(list(c.values()), type=pa.int64())})
-
-    partials = ds.map_batches(extract_count, batch_format="pyarrow")
+def _mine_words(ds, min_len: int = 5, limit: int = 50):
+    """Shared log-mining flow (M1 regex extract → R4 count → R5/R6 top-n),
+    fully vectorized: lowercase-run extraction via split_pattern_regex
+    (maximal [a-z] runs ≡ findall('[a-z]{min_len,}') after the length
+    filter), per-batch combine via Arrow value_counts — no Python loop."""
     from ..stages.keyblocks import group_aggregate, map_key_blocks
 
+    def extract_count(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(batch["text"], "[^a-z]+")
+        flat = (words.combine_chunks()
+                if isinstance(words, pa.ChunkedArray) else words).flatten()
+        flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_len))
+        vc = flat.value_counts()
+        return pa.table({"query": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    partials = ds.map_batches(extract_count, batch_format="pyarrow")
     counts = map_key_blocks(
         partials, ["query"],
         lambda b: group_aggregate(b, ["query"], [("n", "sum")],
                                   rename={"n_sum": "n"}))
     return R.sort_limit(counts, [("n", "descending"), ("query", "ascending")],
-                        50)
+                        limit)
+
+
+def q30_log_mining(sf_dir: str):
+    """The reference's full log-mining flow (SURVEY.md E3: M1 regex extract
+    → M2 normalize → R4 count → R5 sort desc → R6 limit), over documents."""
+    return _mine_words(R.read_table(sf_dir, "documents", ["text"]))
 
 
 _SQL_Q30 = """
@@ -844,6 +853,186 @@ FROM events GROUP BY event_type
 """
 
 
+_Q35_ALPHAS = (0, 75, 100)  # pct; 75 mirrors the reference's alpha=0.75
+_Q35_K = 3
+_Q35_NQ = 5
+
+
+def q35_hybrid_topk(sf_dir: str):
+    """Hybrid dense+sparse retrieval, oracle-checked (SURVEY.md R2 hybrid —
+    the reference's vector_store_query_mode='hybrid', alpha=0.75:
+    /root/reference/config/config.toml:13-15, src/model.py:73-79):
+
+        score = α·cosine(embedding) + (1−α)·token-Jaccard(text)
+
+    documents ⨝ embeddings (bucketed hash join), then each batch scores
+    against the broadcast query set for α ∈ {0, .75, 1}; per-(query, α)
+    partial top-k per batch, one groupby merge. Self-matches excluded."""
+    import ray
+
+    docs = R.read_table(sf_dir, "documents", ["doc_id", "text"])
+    embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _enc(b: pa.Table) -> pa.Table:
+        # Acero joins reject list payloads — carry the vector as
+        # fixed-size binary through the shuffle (zero-copy-ish both ways)
+        m = b["embedding"].combine_chunks().flatten().to_numpy() \
+            .reshape(len(b), -1).astype(np.float64)
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(m.shape[1] * 8), len(b),
+            [None, pa.py_buffer(m.tobytes())])
+        return pa.table({"vec_id": b["vec_id"].combine_chunks(),
+                         "emb_bin": arr})
+
+    corpus = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
+                         "doc_id", "vec_id", num_buckets=32)
+
+    # broadcast query set (tiny: _Q35_NQ rows)
+    qdocs = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", _Q35_NQ)])
+    qembs = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", _Q35_NQ)])
+    order = {d: i for i, d in enumerate(qdocs["doc_id"].to_pylist())}
+    q_ids = np.array(sorted(order), dtype=np.int64)
+    q_toks = [frozenset(qdocs["text"][order[d]].as_py().lower().split())
+              for d in q_ids]
+    emap = {v: i for i, v in enumerate(qembs["vec_id"].to_pylist())}
+    qm = np.stack([np.asarray(qembs["embedding"][emap[d]].as_py(),
+                              dtype=np.float64) for d in q_ids])
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((q_ids, q_toks, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qtoks, qmat = ray.get(ref)
+        ids = np.asarray(batch["doc_id"].to_numpy())
+        emb = np.frombuffer(
+            b"".join(batch["emb_bin"].combine_chunks().to_pylist()),
+            dtype=np.float64).reshape(len(batch), -1).copy()
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        cos = qmat @ emb.T  # (Q, n)
+        toksets = [frozenset(t.lower().split())
+                   for t in batch["text"].to_pylist()]
+        jac = np.empty_like(cos)
+        for qi, qt in enumerate(qtoks):
+            for di, dt in enumerate(toksets):
+                union = len(qt | dt)
+                jac[qi, di] = len(qt & dt) / union if union else 0.0
+        rows = {"query_id": [], "alpha_pct": [], "neighbor_id": [],
+                "score": []}
+        for a_pct in _Q35_ALPHAS:
+            a = a_pct / 100.0
+            s = a * cos + (1 - a) * jac  # mirrors the oracle expression
+            for qi in range(len(qids)):
+                keep = ids != qids[qi]
+                sub_ids, sub_s = ids[keep], s[qi][keep]
+                kk = min(_Q35_K, len(sub_ids))
+                if kk == 0:
+                    continue
+                part = np.argpartition(-sub_s, kk - 1)[:kk]
+                rows["query_id"].extend([int(qids[qi])] * kk)
+                rows["alpha_pct"].extend([a_pct] * kk)
+                rows["neighbor_id"].extend(sub_ids[part].tolist())
+                rows["score"].extend(sub_s[part].tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "alpha_pct": pa.array(rows["alpha_pct"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        })
+
+    partials = corpus.map_batches(partial, batch_format="pyarrow")
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def merge(block: pa.Table) -> pa.Table:
+        n = len(block)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "alpha_pct": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "score_e6": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        b = block.sort_by([("query_id", "ascending"),
+                           ("alpha_pct", "ascending"),
+                           ("score", "descending"),
+                           ("neighbor_id", "ascending")])
+        starts = run_starts(b, ["query_id", "alpha_pct"])
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, sizes) + 1
+        keep = rank <= _Q35_K
+        b = b.filter(pa.array(keep))
+        s = b["score"].combine_chunks().to_numpy()
+        return pa.table({
+            "query_id": b["query_id"].combine_chunks(),
+            "alpha_pct": b["alpha_pct"].combine_chunks(),
+            "neighbor_id": b["neighbor_id"].combine_chunks(),
+            "score_e6": pa.array(
+                np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s)
+                .astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        })
+
+    return map_key_blocks(partials, ["query_id", "alpha_pct"], merge)
+
+
+_SQL_Q35 = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+  FROM documents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS (SELECT d.doc_id, toks, emb FROM d JOIN e ON d.doc_id = e.vec_id),
+q AS (SELECT * FROM c WHERE doc_id < {_Q35_NQ}),
+s AS (
+  SELECT q.doc_id AS query_id, a.alpha_pct, c.doc_id AS neighbor_id,
+         (a.alpha_pct / 100.0) * list_cosine_similarity(q.emb, c.emb)
+         + (1 - a.alpha_pct / 100.0) *
+           (len(list_intersect(q.toks, c.toks))::DOUBLE
+            / len(list_distinct(list_concat(q.toks, c.toks)))) AS score
+  FROM q JOIN c ON c.doc_id <> q.doc_id
+  CROSS JOIN (VALUES (0), (75), (100)) AS a(alpha_pct))
+SELECT query_id, alpha_pct, neighbor_id,
+       CAST(round(1000000 * score) AS BIGINT) AS score_e6, rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id, alpha_pct
+          ORDER BY score DESC, neighbor_id) AS rank FROM s)
+WHERE rank <= {_Q35_K}
+"""
+
+
+def q36_strip_html(sf_dir: str):
+    """M3 HTML strip through an oracle-checked path (round-2 item #8;
+    reference: /root/reference/src/query_api.py:93)."""
+    ds = T.strip_html(R.read_table(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"].combine_chunks(),
+                            "text_clean": b["text_clean"].combine_chunks()}),
+        batch_format="pyarrow")
+
+
+_SQL_Q36 = """
+SELECT doc_id, regexp_replace(text, '<[^<]+?>', '', 'g') AS text_clean
+FROM documents
+"""
+
+
+def q37_read_text_mining(sf_dir: str):
+    """S10 closure: the SAME mining flow as q30, but fed by actual log FILES
+    through ``ray.data.read_text`` (sources/text.py) — documents.text is
+    written line-per-row to /tmp first (the on-disk hop is part of the
+    query, like q34's CSV roundtrip), so the oracle is q30's SQL."""
+    import shutil
+
+    from ..sources.text import read_log_lines, write_text_lines
+
+    out = Path(f"/tmp/cdrc_logs_{Path(sf_dir).name}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_text_lines(R.read_table(sf_dir, "documents", ["text"]), out)
+    return _mine_words(read_log_lines(str(out)))
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -946,6 +1135,9 @@ QUERIES = {
     "q32_render_notes": q32_render_notes,
     "q33_param_sweep": q33_param_sweep,
     "q34_csv_roundtrip": q34_csv_roundtrip,
+    "q35_hybrid_topk": q35_hybrid_topk,
+    "q36_strip_html": q36_strip_html,
+    "q37_read_text_mining": q37_read_text_mining,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -983,4 +1175,7 @@ ORACLE_SQL = {
     "q32_render_notes": _SQL_Q32,
     "q33_param_sweep": _SQL_Q33,
     "q34_csv_roundtrip": _SQL_Q34,
+    "q35_hybrid_topk": _SQL_Q35,
+    "q36_strip_html": _SQL_Q36,
+    "q37_read_text_mining": _SQL_Q30,  # same flow, read_text source
 }

@@ -150,3 +150,95 @@ class Linker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _link_table(batch, self.exact, self.ids, self.mat,
                            self.top_k, self.cfg)
+
+
+# ---------------------------------------------------------------------------
+# hybrid dense+sparse retrieval (round 2) — the reference's actual retrieval
+# mode: vector_store_query_mode="hybrid", alpha=0.75
+# (/root/reference/config/config.toml:13-15, /root/reference/src/model.py:73-79)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _cached_sparse_sig(catalogue_path: str, sig: tuple):
+    """Per-entity token sets (name + aliases, normalized) and an
+    entity_id → row-position map — the 'sparse' half of the hybrid index,
+    built once per worker alongside the dense matrix."""
+    import pyarrow.parquet as pq
+
+    from ..functions.extract_core import normalize_surface
+
+    t = pq.read_table(catalogue_path, columns=["entity_id", "name", "aliases"])
+    toks: list[frozenset] = []
+    for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
+        s = set(normalize_surface(name).split())
+        for a in aliases or []:
+            s |= set(normalize_surface(a).split())
+        toks.append(frozenset(s))
+    pos = {e: i for i, e in enumerate(t["entity_id"].to_pylist())}
+    return toks, pos
+
+
+def _cached_sparse(catalogue_path: str):
+    return _cached_sparse_sig(catalogue_path, _file_sig(catalogue_path))
+
+
+def hybrid_link_batch(batch: pa.Table, *, catalogue: str,
+                      alpha: float = 0.75, top_k: int = 3,
+                      cfg: EngineConfig = DEFAULT_CONFIG,
+                      shortlist: int = 64) -> pa.Table:
+    """α-blended dense+sparse linking (SURVEY.md R2 hybrid mode):
+
+        score(norm, e) = α · cosine(embed(norm), vec(e))
+                       + (1−α) · Jaccard(tokens(norm), tokens(e))
+
+    Candidates = dense top-``shortlist`` ∪ the exact-alias hit, so the
+    sparse side is only evaluated on a bounded set (the scale knob; set
+    ``shortlist`` ≥ catalogue size for exact sparse ranking — the golden
+    test does). α=1 reduces to the pure dense path, α=0 to sparse-over-
+    shortlist. Ties break on entity_id. Emits LINK_SCHEMA with
+    method='hybrid'."""
+    exact, ids, mat = _cached_index(catalogue)
+    toks, pos = _cached_sparse(catalogue)
+    norms = batch["norm"].to_pylist()
+    out: dict[str, list] = {n: [] for n in LINK_SCHEMA.names}
+    if norms:
+        q = embed_texts(norms, dim=cfg.embed_dim, seed=cfg.embed_seed)
+        m = min(max(shortlist, top_k), len(ids))
+        idx, dscore = cosine_topk(q, mat, m)
+        for i, n in enumerate(norms):
+            ntoks = frozenset(n.split())
+            cands = {int(j): float(dscore[i, r])
+                     for r, j in enumerate(idx[i])}
+            e_hit = exact.get(n)
+            if e_hit is not None and pos[e_hit] not in cands:
+                j = pos[e_hit]
+                cands[j] = float(q[i] @ mat[j])
+            scored = []
+            for j, dense in cands.items():
+                et = toks[j]
+                inter = len(ntoks & et)
+                union = len(ntoks | et)
+                sparse = inter / union if union else 0.0
+                scored.append((alpha * dense + (1 - alpha) * sparse, ids[j]))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            for r, (s, eid) in enumerate(scored[:top_k]):
+                out["norm"].append(n)
+                out["entity_id"].append(eid)
+                out["score"].append(s)
+                out["rank"].append(r)
+                out["method"].append("hybrid")
+    return pa.table(out, schema=LINK_SCHEMA)
+
+
+def link_norms_hybrid(norms, catalogue_path: str, alpha: float = 0.75,
+                      top_k: int = 3, cfg: EngineConfig = DEFAULT_CONFIG,
+                      shortlist: int = 64):
+    """Dataset wrapper: hybrid linking as a task map_batches stage with the
+    per-worker cached dense+sparse index (same seam as link_batch)."""
+    return norms.map_batches(
+        hybrid_link_batch,
+        fn_kwargs={"catalogue": catalogue_path, "alpha": alpha,
+                   "top_k": top_k, "cfg": cfg, "shortlist": shortlist},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
