@@ -51,7 +51,8 @@ def _dedup_pairs(pairs):
         starts = run_starts(b, ["doc_id_a", "doc_id_b"])
         return b.take(pa.array(starts, type=pa.int64()))
 
-    return map_key_blocks(pairs, ["doc_id_a", "doc_id_b"], first)
+    return map_key_blocks(pairs, ["doc_id_a", "doc_id_b"], first,
+                          num_blocks=8)
 
 
 # ---------------------------------------------------------------------------
@@ -97,12 +98,21 @@ def exact_dedup(docs):
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def _band_key_strings(group_no: np.ndarray, vals: np.ndarray) -> pa.Array:
-    """'<band>:<val>' string keys via arrow cast+join kernels (no per-row
-    Python string building)."""
-    g = pa.array(group_no).cast(pa.string())
-    v = pa.array(vals).cast(pa.string())
-    return pc.binary_join_element_wise(g, v, ":")
+_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _band_key_ints(group_no: np.ndarray, vals: np.ndarray) -> pa.Array:
+    """int64 block keys: ``val ⊕ (group · odd-mix)`` (wraparound).
+
+    Equal iff the (group, val) pair is equal, up to astronomically rare
+    64-bit collisions — and a collision only MERGES two LSH blocks (extra
+    candidates that the exact verify stage filters), never loses a pair.
+    Integer keys keep the co-location shuffle's sampling/compares cheap
+    (round-1 lesson: range-sorting composite strings dominated the
+    exchange)."""
+    with np.errstate(over="ignore"):
+        k = vals.astype(np.uint64) ^ (group_no.astype(np.uint64) * _KEY_MIX)
+    return pa.array(k.view(np.int64))
 
 
 class MinHashSketcher:
@@ -126,14 +136,14 @@ class MinHashSketcher:
         n = len(texts)
         if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "block_key": pa.array([], pa.string()),
+                             "block_key": pa.array([], pa.int64()),
                              "sig": pa.array([], pa.binary())})
         codes = [H.char_shingle_codes(t, self.k) for t in texts]
         sigs = H.minhash_signatures_batch(codes, self.a, self.b)
         band_vals = H.band_key_values(sigs, self.bands)  # (n, bands)
         bands = band_vals.shape[1]
         doc_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-        keys = _band_key_strings(
+        keys = _band_key_ints(
             np.tile(np.arange(bands, dtype=np.int64), n),
             band_vals.reshape(-1))
         sig_arr = pa.array([s.tobytes() for s in sigs], type=pa.binary())
@@ -203,7 +213,7 @@ def minhash_lsh_dedup(docs, num_perm: int = 64, bands: int = 16,
             out["est_jaccard"].extend(np.round(est[ii, jj], 6).tolist())
         return _pair_table(out, [("est_jaccard", pa.float64())])
 
-    cand = map_key_blocks(blocks, ["block_key"], pairs)
+    cand = map_key_blocks(blocks, ["block_key"], pairs, num_blocks=16)
     return _dedup_pairs(cand)
 
 
@@ -226,7 +236,7 @@ def simhash_dedup(docs, max_hamming: int = 6, chunks: int = 4,
         n = len(texts)
         if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "block_key": pa.array([], pa.string()),
+                             "block_key": pa.array([], pa.int64()),
                              "h": pa.array([], pa.uint64())})
         hs = H.simhash64_batch(texts)  # (n,) uint64
         bits = 64 // chunks
@@ -235,7 +245,7 @@ def simhash_dedup(docs, max_hamming: int = 6, chunks: int = 4,
         for i in range(chunks):  # chunks is 4; docs axis vectorized
             piece[:, i] = np.right_shift(hs, np.uint64(i * bits)) & mask
         doc_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), chunks))
-        keys = _band_key_strings(
+        keys = _band_key_ints(
             np.tile(np.arange(chunks, dtype=np.int64), n),
             piece.reshape(-1))
         return pa.table({
@@ -275,7 +285,7 @@ def simhash_dedup(docs, max_hamming: int = 6, chunks: int = 4,
             out["hamming"].extend(d[ii, jj].tolist())
         return _pair_table(out, [("hamming", pa.int64())])
 
-    cand = map_key_blocks(blocks, ["block_key"], pairs)
+    cand = map_key_blocks(blocks, ["block_key"], pairs, num_blocks=16)
     return _dedup_pairs(cand)
 
 
@@ -305,11 +315,11 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
             payload = arr.tobytes()
             for key in arr[:num_blocks]:
                 doc_idx.append(i)
-                keys.append(str(key))
+                keys.append(int(np.int64(np.uint64(key).view(np.int64))))
                 sets_.append(payload)
         return pa.table({
             "doc_id": ids_src.take(pa.array(doc_idx, type=pa.int64())),
-            "block_key": pa.array(keys, type=pa.string()),
+            "block_key": pa.array(keys, type=pa.int64()),
             "grams": pa.array(sets_, type=pa.binary()),
         })
 
@@ -355,7 +365,7 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
             out["jaccard"].extend(np.round(jac[ii, jj], 6).tolist())
         return _pair_table(out, [("jaccard", pa.float64())])
 
-    cand = map_key_blocks(blocks, ["block_key"], pairs)
+    cand = map_key_blocks(blocks, ["block_key"], pairs, num_blocks=16)
     return _dedup_pairs(cand)
 
 
