@@ -43,7 +43,7 @@ def map_key_blocks(ds, keys: list[str], fn, num_blocks: int | None = None,
 
 
 def map_hash_blocks(ds, keys: list[str], fn, num_buckets: int = 1024,
-                    **map_opts):
+                    num_blocks: int | None = None, **map_opts):
     """Like :func:`map_key_blocks`, but shuffles on ``hash(keys) % B``.
 
     Range-sorting composite STRING keys pays sampling + per-row string
@@ -73,6 +73,8 @@ def map_hash_blocks(ds, keys: list[str], fn, num_buckets: int = 1024,
 
     drop_and_apply.__name__ = getattr(fn, "__name__", "map_hash_blocks")
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if num_blocks:  # see map_key_blocks: exchange cost ∝ in × out blocks
+        bucketed = bucketed.repartition(num_blocks)
     return bucketed.sort("__kb_bucket").map_batches(
         drop_and_apply, batch_size=None, batch_format="pyarrow", **map_opts)
 
