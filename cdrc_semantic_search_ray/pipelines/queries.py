@@ -1040,6 +1040,205 @@ def q37_read_text_mining(sf_dir: str):
     return _mine_words(read_log_lines(str(out)))
 
 
+def q38_sessionize(sf_dir: str):
+    """Gap-based session windows (SURVEY.md §2.6 streaming note; the
+    'windowed aggregate Ray Data lacks' custom-operator case): events
+    co-located per user (ONE key shuffle), then sessions fall out of a
+    vectorized gap scan per block — no per-group Python, no state actor.
+    Gap > 1 h starts a new session. Output: one row per session."""
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    GAP_US = 3_600 * 1_000_000
+    ds = R.read_table(sf_dir, "events", ["user_id", "ts"])
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "session_id": pa.array([], pa.int64()),
+        "session_start": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+        "duration_us": pa.array([], pa.int64()),
+    })
+
+    def sessions(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return empty
+        b = block.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        ts = b["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        user_starts = run_starts(b, ["user_id"])
+        sizes = np.diff(np.append(user_starts, n))
+        is_user_start = np.zeros(n, dtype=bool)
+        is_user_start[user_starts] = True
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = GAP_US + 1
+        gap[1:] = ts[1:] - ts[:-1]
+        new_s = is_user_start | (gap > GAP_US)
+        csum = np.cumsum(new_s)
+        sid = csum - np.repeat(csum[user_starts] - 1, sizes)  # 1-based/user
+        sess_starts = np.flatnonzero(new_s)
+        sess_end = np.append(sess_starts[1:], n) - 1
+        return pa.table({
+            "user_id": b["user_id"].combine_chunks().take(
+                pa.array(sess_starts, pa.int64())),
+            "session_id": pa.array(sid[sess_starts], pa.int64()),
+            "session_start": pa.array(ts[sess_starts].view("datetime64[us]"),
+                                      pa.timestamp("us")),
+            "n_events": pa.array(np.diff(np.append(sess_starts, n)),
+                                 pa.int64()),
+            "duration_us": pa.array(ts[sess_end] - ts[sess_starts],
+                                    pa.int64()),
+        })
+
+    return map_key_blocks(ds, ["user_id"], sessions, num_blocks=16)
+
+
+_SQL_Q38 = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 3600000000
+                  THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM e)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q39_quantiles(sf_dir: str):
+    """EXACT distributed quantiles via bounded-domain value counts: values
+    are lossless int64 cents, so per-batch (event_type, value_c) count
+    partials bound state by the value DOMAIN (≤ ~49k cents here), never the
+    row count — the classic exact-quantile-at-scale pattern (one tiny
+    shuffle of counts; rows never move). p = smallest value whose
+    cumulative count reaches ceil(p·n)."""
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    ds = R.read_table(sf_dir, "events", ["event_type", "value"])
+    ds = ds.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"].combine_chunks(),
+                            "value_c": _cents(b["value"])}),
+        batch_format="pyarrow")
+    counts = R.partial_groupby(ds, ["event_type", "value_c"],
+                               [("value_c", "count", "cnt")],
+                               merge_blocks=8)
+
+    def finalize(block: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_events": pa.array([], pa.int64()),
+                          "p50_c": pa.array([], pa.int64()),
+                          "p95_c": pa.array([], pa.int64())})
+        n = len(block)
+        if n == 0:
+            return empty
+        b = block.sort_by([("event_type", "ascending"),
+                           ("value_c", "ascending")])
+        vals = b["value_c"].to_numpy()
+        cnt = b["cnt"].combine_chunks().cast(pa.int64()).to_numpy()
+        bounds = np.append(run_starts(b, ["event_type"]), n)
+        types, totals, p50s, p95s = [], [], [], []
+        et = b["event_type"].to_pylist()
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            cum = np.cumsum(cnt[lo:hi])
+            total = int(cum[-1])
+            # ceil on the SAME double both engines compute (0.5*n / 0.95*n)
+            r50 = int(np.ceil(0.5 * total))
+            r95 = int(np.ceil(0.95 * total))
+            types.append(et[lo])
+            totals.append(total)
+            p50s.append(int(vals[lo + np.searchsorted(cum, r50, "left")]))
+            p95s.append(int(vals[lo + np.searchsorted(cum, r95, "left")]))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "n_events": pa.array(totals, pa.int64()),
+                         "p50_c": pa.array(p50s, pa.int64()),
+                         "p95_c": pa.array(p95s, pa.int64())})
+
+    return map_key_blocks(counts, ["event_type"], finalize, num_blocks=4)
+
+
+_SQL_Q39 = """
+WITH v AS (SELECT event_type, CAST(round(100 * value) AS BIGINT) AS value_c
+           FROM events),
+r AS (SELECT event_type, value_c,
+             row_number() OVER (PARTITION BY event_type ORDER BY value_c)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN value_c END) AS BIGINT)  AS p50_c,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                     THEN value_c END) AS BIGINT) AS p95_c
+FROM r GROUP BY event_type
+"""
+
+
+def q40_asof_join(sf_dir: str):
+    """As-of join (the custom-operator case Ray Data lacks): each purchase
+    event joined to the user's most recent click at ts ≤ purchase ts.
+    ONE key shuffle co-locates a user's events; the per-block as-of is a
+    vectorized forward-fill (maximum.accumulate of click positions, with a
+    run-start bound so nothing leaks across users)."""
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    ds = R.read_table(sf_dir, "events", ["event_id", "user_id",
+                                         "event_type", "ts"])
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "user_id": pa.array([], pa.int64()),
+                      "last_click_ts": pa.array([], pa.timestamp("us"))})
+
+    def asof(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return empty
+        # clicks sort BEFORE purchases at equal ts ('click' < 'purchase')
+        # so an exactly-simultaneous click is visible — matches ts <= ts
+        b = block.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_type", "ascending")])
+        ts = b["ts"].combine_chunks().cast(pa.timestamp("us")).to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        et = b["event_type"].combine_chunks()
+        is_click = pc.equal(et, "click").to_numpy(zero_copy_only=False)
+        is_purchase = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        starts = run_starts(b, ["user_id"])
+        sizes = np.diff(np.append(starts, n))
+        run_start_of = np.repeat(starts, sizes)
+        lidx = np.maximum.accumulate(
+            np.where(is_click, np.arange(n), -1))
+        valid = lidx >= run_start_of  # kills cross-user leakage
+        out_ts = np.where(valid, ts[np.maximum(lidx, 0)], 0)
+        sel = np.flatnonzero(is_purchase)
+        mask = pa.array(valid[sel])
+        ts_arr = pa.array(out_ts[sel].view("datetime64[us]"),
+                          pa.timestamp("us"))
+        idx = pa.array(sel, pa.int64())
+        return pa.table({
+            "event_id": b["event_id"].combine_chunks().take(idx),
+            "user_id": b["user_id"].combine_chunks().take(idx),
+            "last_click_ts": pc.if_else(mask, ts_arr,
+                                        pa.scalar(None, pa.timestamp("us"))),
+        })
+
+    return map_key_blocks(ds, ["user_id"], asof, num_blocks=16)
+
+
+_SQL_Q40 = """
+SELECT p.event_id, p.user_id,
+       (SELECT max(c.ts) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts) AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1145,6 +1344,9 @@ QUERIES = {
     "q35_hybrid_topk": q35_hybrid_topk,
     "q36_strip_html": q36_strip_html,
     "q37_read_text_mining": q37_read_text_mining,
+    "q38_sessionize": q38_sessionize,
+    "q39_quantiles": q39_quantiles,
+    "q40_asof_join": q40_asof_join,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1185,4 +1387,7 @@ ORACLE_SQL = {
     "q35_hybrid_topk": _SQL_Q35,
     "q36_strip_html": _SQL_Q36,
     "q37_read_text_mining": _SQL_Q30,  # same flow, read_text source
+    "q38_sessionize": _SQL_Q38,
+    "q39_quantiles": _SQL_Q39,
+    "q40_asof_join": _SQL_Q40,
 }
