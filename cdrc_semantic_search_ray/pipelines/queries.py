@@ -1239,6 +1239,198 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+def q41_embedding_centroids(sf_dir: str):
+    """Grouped VECTOR aggregation (per-language embedding centroids — the
+    clustering/class-prototype primitive): embeddings ⨝ documents (bucketed
+    hash join), per-batch per-group component sums over per-row fixed-point
+    components (exact integer sums ⇒ partition-order-proof, same discipline
+    as the scalar aggregates), one tiny (lang, pos) count shuffle."""
+    docs = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
+    embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _enc(b: pa.Table) -> pa.Table:
+        m = b["embedding"].combine_chunks().flatten().to_numpy() \
+            .reshape(len(b), -1).astype(np.float64)
+        x = 1e6 * m
+        # half-AWAY-from-zero to match DuckDB round (np.rint is half-even)
+        v_e6 = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(v_e6.shape[1] * 8), len(b),
+            [None, pa.py_buffer(v_e6.tobytes())])
+        return pa.table({"vec_id": b["vec_id"].combine_chunks(),
+                         "emb_e6": arr})
+
+    joined = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
+                         "doc_id", "vec_id", num_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = np.frombuffer(
+            b"".join(batch["emb_e6"].combine_chunks().to_pylist()),
+            dtype=np.int64).reshape(len(batch), -1)
+        dim = v.shape[1]
+        codes, uniq = pd.factorize(
+            np.asarray(batch["lang"].to_pylist(), dtype=object))
+        k = len(uniq)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for c in range(k):  # k = langs-in-batch (≤5); rows axis vectorized
+            mask = codes == c
+            sums[c] = v[mask].sum(axis=0)
+            cnts[c] = int(mask.sum())
+        return pa.table({
+            "lang": pa.array(np.repeat(uniq, dim), pa.string()),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "s_e6": pa.array(sums.reshape(-1)),
+            "n_docs": pa.array(np.repeat(cnts, dim)),
+        })
+
+    agg = R.partial_groupby(joined.map_batches(partial,
+                                               batch_format="pyarrow"),
+                            ["lang", "pos"],
+                            [("s_e6", "sum", "_s"), ("n_docs", "sum", "n_docs")],
+                            merge_blocks=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"].combine_chunks(),
+            "pos": batch["pos"].cast(pa.int64()),
+            "n_docs": batch["n_docs"].cast(pa.int64()),
+            "centroid_e6": _int_ratio_fx(batch["_s"], batch["n_docs"], 1.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_Q41 = """
+WITH j AS (SELECT d.lang, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+u AS (SELECT lang,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             -- float32 → DOUBLE before the multiply: float32 arithmetic
+             -- flips round() on near-half values vs the engine's float64
+             CAST(round(1000000 * unnest(embedding::DOUBLE[])) AS BIGINT)
+                 AS v_e6
+      FROM j)
+SELECT lang, pos, count(*) AS n_docs,
+       CAST(round(1.0 * sum(v_e6) / count(*)) AS BIGINT) AS centroid_e6
+FROM u GROUP BY lang, pos
+"""
+
+
+def q42_deterministic_sample(sf_dir: str):
+    """Deterministic content-hash Bernoulli sampling (stable train/eval
+    splits at any scale — rerunning or resharding never changes membership):
+    keep rows whose md5(doc_id) starts below the rate threshold. Pure
+    map-filter, no shuffle, no RNG state."""
+    import hashlib
+
+    ds = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:2] < "29"
+             for i in ids])
+        return batch.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_Q42 = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+"""
+
+
+def q43_tfidf_top_terms(sf_dir: str):
+    """TF-IDF-style term weighting (simplified exact-rational idf = N/df so
+    both engines compute the identical double): pass 1 computes document
+    frequencies with the combiner pattern and broadcasts the (vocab-sized)
+    df map; pass 2 scores tf·N/df per doc and keeps the top term (ties →
+    lexicographic). The df map is vocab-bounded; at open-vocabulary scale
+    the broadcast becomes a bucketed join on term (same gate pattern as
+    relational.semi_join)."""
+    import ray
+
+    from ..stages.keyblocks import group_aggregate, map_key_blocks
+
+    docs = R.read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_total = docs.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        # distinct terms per doc: (doc row, term) pairs deduped per batch
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = toks.flatten()
+        t = pa.table({
+            "row": pa.array(np.repeat(np.arange(len(batch)), lens)),
+            "term": flat,
+        })
+        per_doc = t.group_by(["row", "term"]).aggregate([])
+        dfp = per_doc.group_by("term").aggregate([("term", "count")])
+        return pa.table({"term": dfp["term"],
+                         "df": dfp["term_count"].cast(pa.int64())})
+
+    dfs = docs.map_batches(df_partial, batch_format="pyarrow")
+    df_table = map_key_blocks(
+        dfs, ["term"],
+        lambda b: group_aggregate(b, ["term"], [("df", "sum")],
+                                  rename={"df_sum": "df"}),
+        num_blocks=8)
+    df_map: dict[str, int] = {}
+    for b in df_table.iter_batches(batch_format="pyarrow"):
+        df_map.update(zip(b["term"].to_pylist(), b["df"].to_pylist()))
+    ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        out_id, out_term, out_e6 = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in text.lower().split():
+                counts[w] = counts.get(w, 0) + 1
+            best = None
+            for w, tf in counts.items():
+                s = tf * n_total / dfm[w]  # identical IEEE expr in SQL
+                if best is None or s > best[0] or (s == best[0]
+                                                  and w < best[1]):
+                    best = (s, w)
+            if best is not None:
+                out_id.append(doc_id)
+                out_term.append(best[1])
+                out_e6.append(int(np.copysign(
+                    np.floor(abs(1e6 * best[0]) + 0.5), best[0])))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "top_term": pa.array(out_term, pa.string()),
+                         "score_e6": pa.array(out_e6, pa.int64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+_SQL_Q43 = r"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT count(*) AS n_total FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             tf.tf * n.n_total / df.df AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term AS top_term,
+       CAST(round(1000000 * score) AS BIGINT) AS score_e6
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn FROM s)
+WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1347,6 +1539,9 @@ QUERIES = {
     "q38_sessionize": q38_sessionize,
     "q39_quantiles": q39_quantiles,
     "q40_asof_join": q40_asof_join,
+    "q41_embedding_centroids": q41_embedding_centroids,
+    "q42_deterministic_sample": q42_deterministic_sample,
+    "q43_tfidf_top_terms": q43_tfidf_top_terms,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1390,4 +1585,7 @@ ORACLE_SQL = {
     "q38_sessionize": _SQL_Q38,
     "q39_quantiles": _SQL_Q39,
     "q40_asof_join": _SQL_Q40,
+    "q41_embedding_centroids": _SQL_Q41,
+    "q42_deterministic_sample": _SQL_Q42,
+    "q43_tfidf_top_terms": _SQL_Q43,
 }
