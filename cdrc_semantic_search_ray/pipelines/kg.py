@@ -739,16 +739,19 @@ def aggregate_nodes(edges, catalogue_path: str,
     import pyarrow.parquet as pq
 
     cat = pq.read_table(catalogue_path, columns=["entity_id", "name", "kind"])
-    names = dict(zip(cat["entity_id"].to_pylist(), cat["name"].to_pylist()))
-    kinds = dict(zip(cat["entity_id"].to_pylist(), cat["kind"].to_pylist()))
+    cat_ids = cat["entity_id"].combine_chunks()
+    cat_names = cat["name"].combine_chunks()
+    cat_kinds = cat["kind"].combine_chunks()
 
     def decorate(batch: pa.Table) -> pa.Table:
-        ids = batch["node_id"].to_pylist()
+        ids = batch["node_id"].combine_chunks()
+        idx = pc.index_in(ids, value_set=cat_ids)  # vectorized hash probe
+        hit = pc.is_valid(idx)
         return pa.table({
-            "node_id": batch["node_id"].combine_chunks(),
-            "name": pa.array([names.get(i, i) for i in ids], type=pa.string()),
-            "kind": pa.array([kinds.get(i, "unknown") for i in ids],
-                             type=pa.string()),
+            "node_id": ids,
+            "name": pc.if_else(hit, cat_names.take(idx), ids),
+            "kind": pc.if_else(hit, cat_kinds.take(idx),
+                               pa.scalar("unknown")),
             "degree": batch["degree"].combine_chunks(),
             "weight": batch["weight"].combine_chunks(),
         })

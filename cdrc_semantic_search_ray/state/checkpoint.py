@@ -81,19 +81,25 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
         man.mark_stage_done("triples_raw")
         recomputed["triples_raw"] = list(range(num_parts))
 
-    # ---- link + canon maps (small; recomputed each run — cheap) -----------
+    # ---- link + canon maps (recomputed each run — cheap) ------------------
     traw = rd.read_parquet(str(traw_dir))
     norms = K.distinct_norms(traw)
-    links = K.link_norms(norms, catalogue, cfg, top_k=1)
-    canon_map = K.canonicalize(catalogue, cfg)
+    links = K.link_norms(norms, catalogue, cfg, top_k=1).materialize()
+    canon_map = K.canonicalize(catalogue, cfg).materialize()
 
-    link_map: dict[str, str] = {}
-    for b in links.iter_batches(batch_format="pyarrow"):
-        link_map.update(zip(b["norm"].to_pylist(), b["entity_id"].to_pylist()))
-    canon: dict[str, str] = {}
-    for b in canon_map.iter_batches(batch_format="pyarrow"):
-        canon.update(zip(b["entity_key"].to_pylist(),
-                         b["canonical_id"].to_pylist()))
+    # size gate (same as kg.resolve_triples): broadcast small maps, switch
+    # to the bucketed shuffle resolve when the norm domain is too big for
+    # a driver-held dict (nothing unbounded on the driver)
+    broadcast_ok = links.count() <= cfg.resolve_broadcast_limit
+    if broadcast_ok:
+        link_map: dict[str, str] = {}
+        for b in links.iter_batches(batch_format="pyarrow"):
+            link_map.update(zip(b["norm"].to_pylist(),
+                                b["entity_id"].to_pylist()))
+        canon: dict[str, str] = {}
+        for b in canon_map.iter_batches(batch_format="pyarrow"):
+            canon.update(zip(b["entity_key"].to_pylist(),
+                             b["canonical_id"].to_pylist()))
 
     # ---- stage 2: resolved triples (PARTITION-granular resume) ------------
     tdir = out / "triples"
@@ -109,10 +115,14 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
             man.record("triples", p, 0, wall_s=0.0)
             continue
         part = rd.read_parquet(str(src))
-        resolved = part.map_batches(
-            K.resolve_batch,
-            fn_kwargs={"links": link_map, "canon": canon},
-            batch_format="pyarrow", batch_size=cfg.batch_size)
+        if broadcast_ok:
+            resolved = part.map_batches(
+                K.resolve_batch,
+                fn_kwargs={"links": link_map, "canon": canon},
+                batch_format="pyarrow", batch_size=cfg.batch_size)
+        else:
+            resolved = K.resolve_triples_shuffled(part, links, canon_map,
+                                                  cfg)
         resolved.write_parquet(str(dst))
         # row counts from the written parquet FOOTERS — calling .count() on
         # the lazy Dataset would re-execute the whole resolve pipeline
