@@ -78,15 +78,20 @@ def _collapse_on_driver(edges):
             parent[x], x = root, parent[x]
         return root
 
+    seen: set[str] = set()
     for batch in edges.iter_batches(batch_format="pyarrow",
                                     batch_size=65536):
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            seen.add(a)
+            seen.add(b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo  # min-label representative
 
-    items = [{"node": n, "label": find(n)} for n in sorted(parent)]
+    # every edge-seen node gets a row (incl. self-rooted ones) — identical
+    # row set to the distributed path, so the two are interchangeable
+    items = [{"node": n, "label": find(n)} for n in sorted(seen)]
     if not items:  # keep a typed, empty Dataset
         return rd.from_arrow(pa.table({"node": [], "label": []},
                                       schema=_LABEL_SCHEMA))

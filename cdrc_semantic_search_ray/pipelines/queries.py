@@ -1431,6 +1431,46 @@ WHERE rn = 1
 """
 
 
+def q44_range_join(sf_dir: str):
+    """Range (band) join + aggregate (the remaining custom-join family):
+    events banded by value tier via broadcast sorted boundaries (one
+    searchsorted per batch — no shuffle), then a combiner groupby."""
+    ds = R.read_table(sf_dir, "events", ["event_type", "value"])
+    banded = R.range_join_bands(
+        ds, "value", [0.0, 50.0, 150.0, 300.0, 1e9],
+        ["low", "mid", "high", "extreme"])
+    banded = banded.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"].combine_chunks(),
+                            "band": b["band"].combine_chunks(),
+                            "value_c": _cents(b["value"])}),
+        batch_format="pyarrow")
+    agg = R.partial_groupby(banded, ["event_type", "band"],
+                            [("value_c", "count", "n_events"),
+                             ("value_c", "sum", "total_cents")],
+                            merge_blocks=4)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"].combine_chunks(),
+            "band": b["band"].combine_chunks(),
+            "n_events": b["n_events"].cast(pa.int64()),
+            "total_cents": b["total_cents"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_SQL_Q44 = """
+SELECT event_type, band, count(*) AS n_events,
+       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+             ('high', 150.0, 300.0), ('extreme', 300.0, 1e9))
+     AS b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY event_type, band
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1542,6 +1582,7 @@ QUERIES = {
     "q41_embedding_centroids": q41_embedding_centroids,
     "q42_deterministic_sample": q42_deterministic_sample,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
+    "q44_range_join": q44_range_join,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1588,4 +1629,5 @@ ORACLE_SQL = {
     "q41_embedding_centroids": _SQL_Q41,
     "q42_deterministic_sample": _SQL_Q42,
     "q43_tfidf_top_terms": _SQL_Q43,
+    "q44_range_join": _SQL_Q44,
 }

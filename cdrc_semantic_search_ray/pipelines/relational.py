@@ -273,6 +273,32 @@ def partial_groupby(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     return map_key_blocks(partials, keys, merge, num_blocks=merge_blocks)
 
 
+def range_join_bands(ds, col: str, bounds: list[float], labels: list[str],
+                     out: str = "band"):
+    """Range (band) join: assign each row the band whose half-open interval
+    [bounds[i], bounds[i+1]) contains ``ds[col]`` — the broadcast-side case
+    of a range join (bands ≪ data, sorted boundaries ship in the closure;
+    one binary search per batch via ``np.searchsorted``, no shuffle).
+    Rows below bounds[0] or at/above bounds[-1] are dropped (matching a SQL
+    BETWEEN-style inner join). A large-large interval overlap join would
+    instead bucket both sides on quantized range keys (same machinery as
+    ``hash_join``) — not needed by any current caller."""
+    if len(labels) != len(bounds) - 1:
+        raise ValueError("need len(labels) == len(bounds) - 1")
+    lo, hi = bounds[0], bounds[-1]
+    edges = np.asarray(bounds, dtype=np.float64)
+    lab = np.asarray(labels, dtype=object)
+
+    def f(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().cast(pa.float64()).to_numpy()
+        keep = (v >= lo) & (v < hi)
+        idx = np.searchsorted(edges, v[keep], side="right") - 1
+        return batch.filter(pa.array(keep)).append_column(
+            out, pa.array(lab[idx], type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def sort_limit(ds, sort_keys: list[tuple[str, str]], n: int):
     """Global top-n: ds.sort(...).limit(n) (range-partitioned shuffle)."""
     cols = [k for k, _ in sort_keys]
