@@ -58,3 +58,19 @@ def test_manifest_anti_join(tmp_path):
     m.mark_stage_done("s")
     assert m.stage_done("s")
     assert m.stats()["s"]["rows"] == 15
+
+
+def test_checkpoint_shuffled_resolve_gate(ray_session, unit_corpus, tmp_path,
+                                          golden_result):
+    """resolve_broadcast_limit=0 forces the bucketed-shuffle resolve inside
+    the checkpointed run — outputs must be identical to the broadcast path
+    (round-2: no unbounded driver state anywhere in the durable flow)."""
+    import dataclasses
+
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG
+    from cdrc_semantic_search_ray.state.checkpoint import run_kg_checkpointed
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, resolve_broadcast_limit=0)
+    out = tmp_path / "run_shuffled"
+    run_kg_checkpointed(unit_corpus, out, cfg=cfg, num_parts=2)
+    assert _triples(out) == golden_result["triples"]
