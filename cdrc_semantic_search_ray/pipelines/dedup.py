@@ -372,11 +372,7 @@ def ngram_jaccard_dedup(docs, n: int = 3, tau: float = 0.5,
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
-def _list_matrix(batch: pa.Table, col: str,
-                 dtype=np.float64) -> np.ndarray:
-    """Zero-loop (N, D) matrix from a fixed-width list column."""
-    arr = batch[col].combine_chunks()
-    return arr.flatten().to_numpy().reshape(len(batch), -1).astype(dtype)
+from ..functions.arrays import list_matrix as _list_matrix  # shared kernel
 
 
 def embedding_neardup(embeddings, tau: float = 0.40,

@@ -358,19 +358,11 @@ def resolve_batch(batch: pa.Table, *, links: dict, canon: dict) -> pa.Table:
     return _resolved_table(batch, keys, vals)
 
 
-def resolve_triples_shuffled(triples_raw, links, canon_map,
-                             cfg: EngineConfig = DEFAULT_CONFIG,
-                             num_buckets: int = 64):
-    """Big-link-map resolve: NOTHING is collected on the driver.
-
-    The scale path promised by the module docstring: when the distinct-norm
-    domain outgrows worker memory, compose links ∘ canon with one bucketed
-    left-outer hash join (both sides are norm/catalogue-sized), then stream
-    the triples past the composed map with two more bucketed joins (subj,
-    obj). Unmatched norms become ``unk:<norm>`` exactly as the broadcast
-    path does. Only rank-0 link rows participate (top-1 semantics), so the
-    joins never fan out rows.
-    """
+def compose_link_map(links, canon_map, num_buckets: int = 64):
+    """links ∘ canon as a materialized (norm, ent) Dataset: rank-0 link
+    rows bucketed-left-outer-joined to the canon map (both sides are
+    norm/catalogue-sized). Reused across partitions by the checkpointed
+    flow — computing it once per partition would repeat the join."""
     from .relational import hash_join
 
     top1 = links.map_batches(
@@ -385,7 +377,30 @@ def resolve_triples_shuffled(triples_raw, links, canon_map,
                          b["canonical_id"], b["entity_id"])
         return pa.table({"norm": b["norm"].combine_chunks(), "ent": ent})
 
-    lmap = composed.map_batches(_ent, batch_format="pyarrow").materialize()
+    return composed.map_batches(_ent, batch_format="pyarrow").materialize()
+
+
+def resolve_triples_shuffled(triples_raw, links=None, canon_map=None,
+                             cfg: EngineConfig = DEFAULT_CONFIG,
+                             num_buckets: int = 64, lmap=None):
+    """Big-link-map resolve: NOTHING is collected on the driver.
+
+    Pass either (links, canon_map) or a precomputed ``lmap`` from
+    :func:`compose_link_map` (checkpointed runs reuse one lmap across all
+    partitions).
+
+    The scale path promised by the module docstring: when the distinct-norm
+    domain outgrows worker memory, compose links ∘ canon with one bucketed
+    left-outer hash join (both sides are norm/catalogue-sized), then stream
+    the triples past the composed map with two more bucketed joins (subj,
+    obj). Unmatched norms become ``unk:<norm>`` exactly as the broadcast
+    path does. Only rank-0 link rows participate (top-1 semantics), so the
+    joins never fan out rows.
+    """
+    from .relational import hash_join
+
+    if lmap is None:
+        lmap = compose_link_map(links, canon_map, num_buckets=num_buckets)
 
     five = triples_raw.map_batches(
         lambda b: b.select(["conv_id", "turn_idx", "subj_norm", "pred",
@@ -440,8 +455,12 @@ def resolve_triples(triples_raw, links, canon_map,
         return resolve_triples_shuffled(triples_raw, links, canon_map, cfg)
     link_map: dict[str, str] = {}
     for batch in links.iter_batches(batch_format="pyarrow"):
-        link_map.update(zip(batch["norm"].to_pylist(),
-                            batch["entity_id"].to_pylist()))
+        # rank-0 rows only — identical top-1 semantics to the shuffled path
+        # even when the caller linked with top_k > 1
+        b = batch.filter(pc.equal(batch["rank"], 0)) \
+            if "rank" in batch.column_names else batch
+        link_map.update(zip(b["norm"].to_pylist(),
+                            b["entity_id"].to_pylist()))
     canon: dict[str, str] = {}
     for batch in canon_map.iter_batches(batch_format="pyarrow"):
         canon.update(zip(batch["entity_key"].to_pylist(),

@@ -683,9 +683,12 @@ def q29_multimodal_features(sf_dir: str):  # rows-only (stubbed decode)
     ``ray.data.read_binary_files`` (sources/binary.py) → actor-pool decode.
     The on-disk hop exercises the actual source operator (round-2 item:
     synthesize_payloads was a stand-in)."""
+    import shutil
+
     from ..sources.binary import read_payload_files, write_payload_files
 
     out = Path(f"/tmp/cdrc_payloads_{Path(sf_dir).name}")
+    shutil.rmtree(out, ignore_errors=True)  # never reuse a stale fixture dir
     write_payload_files(
         R.read_table(sf_dir, "documents", ["doc_id", "text"]), out)
     return MM.decode_features(read_payload_files(out))
@@ -877,22 +880,30 @@ def q35_hybrid_topk(sf_dir: str):
     partial top-k per batch, one groupby merge. Self-matches excluded."""
     import ray
 
+    from ..functions.arrays import (fixed_binary_to_matrix, list_matrix,
+                                    matrix_to_fixed_binary)
+
     docs = R.read_table(sf_dir, "documents", ["doc_id", "text"])
     embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def _enc(b: pa.Table) -> pa.Table:
         # Acero joins reject list payloads — carry the vector as
         # fixed-size binary through the shuffle (zero-copy-ish both ways)
-        m = b["embedding"].combine_chunks().flatten().to_numpy() \
-            .reshape(len(b), -1).astype(np.float64)
-        arr = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(m.shape[1] * 8), len(b),
-            [None, pa.py_buffer(m.tobytes())])
         return pa.table({"vec_id": b["vec_id"].combine_chunks(),
-                         "emb_bin": arr})
+                         "emb_bin": matrix_to_fixed_binary(
+                             list_matrix(b, "embedding", np.float64))})
 
     corpus = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
                          "doc_id", "vec_id", num_buckets=32)
+
+    def _tok_lists(text_col) -> list[list[str]]:
+        """RE2 '\\s+' tokenization — the SAME regex engine/class the oracle's
+        string_split_regex uses (python str.split() splits on extra unicode
+        whitespace RE2 does not)."""
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text_col)), r"\s+")
+        return (t.combine_chunks()
+                if isinstance(t, pa.ChunkedArray) else t).to_pylist()
 
     # broadcast query set (tiny: _Q35_NQ rows)
     qdocs = pq.read_table(f"{sf_dir}/documents.parquet",
@@ -903,8 +914,8 @@ def q35_hybrid_topk(sf_dir: str):
                           filters=[("vec_id", "<", _Q35_NQ)])
     order = {d: i for i, d in enumerate(qdocs["doc_id"].to_pylist())}
     q_ids = np.array(sorted(order), dtype=np.int64)
-    q_toks = [frozenset(qdocs["text"][order[d]].as_py().lower().split())
-              for d in q_ids]
+    qdoc_toks = _tok_lists(qdocs["text"])
+    q_toks = [sorted(set(qdoc_toks[order[d]])) for d in q_ids]
     emap = {v: i for i, v in enumerate(qembs["vec_id"].to_pylist())}
     qm = np.stack([np.asarray(qembs["embedding"][emap[d]].as_py(),
                               dtype=np.float64) for d in q_ids])
@@ -912,36 +923,56 @@ def q35_hybrid_topk(sf_dir: str):
     ref = ray.put((q_ids, q_toks, qm))
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         qids, qtoks, qmat = ray.get(ref)
+        nq = len(qids)
         ids = np.asarray(batch["doc_id"].to_numpy())
-        emb = np.frombuffer(
-            b"".join(batch["emb_bin"].combine_chunks().to_pylist()),
-            dtype=np.float64).reshape(len(batch), -1).copy()
+        n = len(ids)
+        emb = fixed_binary_to_matrix(batch["emb_bin"], np.float64)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         cos = qmat @ emb.T  # (Q, n)
-        toksets = [frozenset(t.lower().split())
-                   for t in batch["text"].to_pylist()]
-        jac = np.empty_like(cos)
-        for qi, qt in enumerate(qtoks):
-            for di, dt in enumerate(toksets):
-                union = len(qt | dt)
-                jac[qi, di] = len(qt & dt) / union if union else 0.0
+
+        # pairwise query×doc token Jaccard as ONE incidence matmul (same
+        # shape as dedup._block_jaccard) instead of Q×n Python set ops
+        d_sets = [sorted(set(t)) for t in _tok_lists(batch["text"])]
+        d_lens = np.array([len(s) for s in d_sets], dtype=np.int64)
+        q_lens = np.array([len(s) for s in qtoks], dtype=np.int64)
+        flat = np.array([w for s in d_sets for w in s]
+                        + [w for s in qtoks for w in s], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        v = len(uniq)
+        m_docs = np.zeros((n, v), dtype=np.float32)
+        m_docs[np.repeat(np.arange(n), d_lens),
+               codes[:int(d_lens.sum())]] = 1.0
+        m_q = np.zeros((nq, v), dtype=np.float32)
+        m_q[np.repeat(np.arange(nq), q_lens),
+            codes[int(d_lens.sum()):]] = 1.0
+        inter = m_q @ m_docs.T  # (Q, n)
+        union = q_lens[:, None] + d_lens[None, :] - inter
+        jac = np.divide(inter, union, out=np.zeros_like(inter),
+                        where=union > 0).astype(np.float64)
+
         rows = {"query_id": [], "alpha_pct": [], "neighbor_id": [],
                 "score": []}
         for a_pct in _Q35_ALPHAS:
             a = a_pct / 100.0
             s = a * cos + (1 - a) * jac  # mirrors the oracle expression
-            for qi in range(len(qids)):
+            for qi in range(nq):
                 keep = ids != qids[qi]
                 sub_ids, sub_s = ids[keep], s[qi][keep]
                 kk = min(_Q35_K, len(sub_ids))
                 if kk == 0:
                     continue
-                part = np.argpartition(-sub_s, kk - 1)[:kk]
+                # deterministic truncation: ties at the k boundary keep the
+                # SMALLEST neighbor ids (the oracle's ORDER BY score DESC,
+                # neighbor_id) — argpartition alone would keep an arbitrary,
+                # partition-order-dependent subset of a tie group
+                top = np.lexsort((sub_ids, -sub_s))[:kk]
                 rows["query_id"].extend([int(qids[qi])] * kk)
                 rows["alpha_pct"].extend([a_pct] * kk)
-                rows["neighbor_id"].extend(sub_ids[part].tolist())
-                rows["score"].extend(sub_s[part].tolist())
+                rows["neighbor_id"].extend(sub_ids[top].tolist())
+                rows["score"].extend(sub_s[top].tolist())
         return pa.table({
             "query_id": pa.array(rows["query_id"], pa.int64()),
             "alpha_pct": pa.array(rows["alpha_pct"], pa.int64()),
@@ -1036,7 +1067,10 @@ def q37_read_text_mining(sf_dir: str):
 
     out = Path(f"/tmp/cdrc_logs_{Path(sf_dir).name}")
     shutil.rmtree(out, ignore_errors=True)
-    write_text_lines(R.read_table(sf_dir, "documents", ["text"]), out)
+    # doc_id rides along so the sink's content digests are unique per
+    # logical batch (identical-text batches must not collapse to one file)
+    write_text_lines(R.read_table(sf_dir, "documents", ["doc_id", "text"]),
+                     out)
     return _mine_words(read_log_lines(str(out)))
 
 
@@ -1245,20 +1279,18 @@ def q41_embedding_centroids(sf_dir: str):
     hash join), per-batch per-group component sums over per-row fixed-point
     components (exact integer sums ⇒ partition-order-proof, same discipline
     as the scalar aggregates), one tiny (lang, pos) count shuffle."""
+    from ..functions.arrays import (fixed_binary_to_matrix, list_matrix,
+                                    matrix_to_fixed_binary)
+
     docs = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
     embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def _enc(b: pa.Table) -> pa.Table:
-        m = b["embedding"].combine_chunks().flatten().to_numpy() \
-            .reshape(len(b), -1).astype(np.float64)
-        x = 1e6 * m
+        x = 1e6 * list_matrix(b, "embedding", np.float64)
         # half-AWAY-from-zero to match DuckDB round (np.rint is half-even)
         v_e6 = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
-        arr = pa.FixedSizeBinaryArray.from_buffers(
-            pa.binary(v_e6.shape[1] * 8), len(b),
-            [None, pa.py_buffer(v_e6.tobytes())])
         return pa.table({"vec_id": b["vec_id"].combine_chunks(),
-                         "emb_e6": arr})
+                         "emb_e6": matrix_to_fixed_binary(v_e6)})
 
     joined = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
                          "doc_id", "vec_id", num_buckets=32)
@@ -1266,9 +1298,7 @@ def q41_embedding_centroids(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        v = np.frombuffer(
-            b"".join(batch["emb_e6"].combine_chunks().to_pylist()),
-            dtype=np.int64).reshape(len(batch), -1)
+        v = fixed_binary_to_matrix(batch["emb_e6"], np.int64)
         dim = v.shape[1]
         codes, uniq = pd.factorize(
             np.asarray(batch["lang"].to_pylist(), dtype=object))
@@ -1389,11 +1419,18 @@ def q43_tfidf_top_terms(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         dfm = ray.get(ref)
+        # SAME tokenizer as the df pass and the SQL oracle (RE2 '\s+' on
+        # trimmed lowercase) — python str.split() splits on extra unicode
+        # whitespace RE2 does not, which would miss df-map keys and crash
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+")
+        tok_lists = (toks.combine_chunks()
+                     if isinstance(toks, pa.ChunkedArray)
+                     else toks).to_pylist()
         out_id, out_term, out_e6 = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(),
-                                batch["text"].to_pylist()):
+        for doc_id, words in zip(batch["doc_id"].to_pylist(), tok_lists):
             counts: dict[str, int] = {}
-            for w in text.lower().split():
+            for w in words:
                 counts[w] = counts.get(w, 0) + 1
             best = None
             for w, tf in counts.items():

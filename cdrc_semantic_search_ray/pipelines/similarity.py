@@ -71,10 +71,9 @@ def _merge_topk(partials, k: int):
 
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
-    """Zero-loop (N, D) matrix from a fixed-width list column."""
-    arr = batch[col].combine_chunks()
-    return arr.flatten().to_numpy().reshape(len(batch), -1) \
-              .astype(np.float64)
+    from ..functions.arrays import list_matrix
+
+    return list_matrix(batch, col, np.float64)
 
 
 def topk_bruteforce(embeddings, query_ids: list[int], k: int = 5):

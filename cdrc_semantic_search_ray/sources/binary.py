@@ -30,12 +30,16 @@ def write_payload_files(docs, out_dir: str | Path,
     out.mkdir(parents=True, exist_ok=True)
 
     def _write(batch: pa.Table) -> pa.Table:
+        import os
+
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         for i, t in zip(ids, texts):
             path = out / f"{i:08d}.{_KINDS[i % 3]}"
             if not path.exists():  # idempotent resume
-                path.write_bytes(t.encode("utf-8"))
+                tmp = path.with_name(f".{path.name}.{os.getpid()}.tmp")
+                tmp.write_bytes(t.encode("utf-8"))
+                os.replace(tmp, path)  # atomic: never a truncated payload
         return pa.table({"n": pa.array([len(ids)], pa.int64())})
 
     docs.map_batches(_write, batch_format="pyarrow").sum("n")

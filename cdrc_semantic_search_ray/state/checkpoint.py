@@ -92,14 +92,22 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
     # a driver-held dict (nothing unbounded on the driver)
     broadcast_ok = links.count() <= cfg.resolve_broadcast_limit
     if broadcast_ok:
+        import pyarrow.compute as pc
+
         link_map: dict[str, str] = {}
         for b in links.iter_batches(batch_format="pyarrow"):
+            b = b.filter(pc.equal(b["rank"], 0))  # top-1, same as shuffled
             link_map.update(zip(b["norm"].to_pylist(),
                                 b["entity_id"].to_pylist()))
         canon: dict[str, str] = {}
         for b in canon_map.iter_batches(batch_format="pyarrow"):
             canon.update(zip(b["entity_key"].to_pylist(),
                              b["canonical_id"].to_pylist()))
+    else:
+        # compose links ∘ canon ONCE and reuse across every pending
+        # partition — per-partition recomposition would repeat the
+        # multi-million-row join num_parts times
+        lmap = K.compose_link_map(links, canon_map)
 
     # ---- stage 2: resolved triples (PARTITION-granular resume) ------------
     tdir = out / "triples"
@@ -121,8 +129,7 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
                 fn_kwargs={"links": link_map, "canon": canon},
                 batch_format="pyarrow", batch_size=cfg.batch_size)
         else:
-            resolved = K.resolve_triples_shuffled(part, links, canon_map,
-                                                  cfg)
+            resolved = K.resolve_triples_shuffled(part, cfg=cfg, lmap=lmap)
         resolved.write_parquet(str(dst))
         # row counts from the written parquet FOOTERS — calling .count() on
         # the lazy Dataset would re-execute the whole resolve pipeline
