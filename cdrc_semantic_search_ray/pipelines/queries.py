@@ -948,10 +948,13 @@ def q35_hybrid_topk(sf_dir: str):
         m_q = np.zeros((nq, v), dtype=np.float32)
         m_q[np.repeat(np.arange(nq), q_lens),
             codes[int(d_lens.sum()):]] = 1.0
-        inter = m_q @ m_docs.T  # (Q, n)
-        union = q_lens[:, None] + d_lens[None, :] - inter
+        # counts are exact small ints in float32; the DIVISION must run in
+        # float64 (a float32 quotient rounds differently than the oracle's
+        # double division — bit us at sf0.1)
+        inter = (m_q @ m_docs.T).astype(np.float64)  # (Q, n)
+        union = (q_lens[:, None] + d_lens[None, :]) - inter
         jac = np.divide(inter, union, out=np.zeros_like(inter),
-                        where=union > 0).astype(np.float64)
+                        where=union > 0)
 
         rows = {"query_id": [], "alpha_pct": [], "neighbor_id": [],
                 "score": []}
@@ -1508,6 +1511,86 @@ GROUP BY event_type, band
 """
 
 
+def q45_read_json_catalogue(sf_dir: str):
+    """S1 closure: the paged catalogue-API ingestion shape with a REAL
+    ``ray.data.read_json`` source — the nation table is materialized as
+    numbered JSONL pages (the API-response stand-in; sources/jsonl.py),
+    streamed back, and aggregated. The on-disk hop is part of the query."""
+    import shutil
+
+    from ..sources.jsonl import read_json_pages, write_json_pages
+
+    out = Path(f"/tmp/cdrc_api_{Path(sf_dir).name}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_json_pages(_small(sf_dir, "nation",
+                            ["n_nationkey", "n_name", "n_regionkey"]), out)
+    pages = read_json_pages(out)
+    agg = R.partial_groupby(
+        pages.map_batches(
+            lambda b: pa.table({
+                "n_regionkey": b["n_regionkey"].combine_chunks()
+                .cast(pa.int64()),
+                "n_nationkey": b["n_nationkey"].combine_chunks()
+                .cast(pa.int64()),
+            }),
+            batch_format="pyarrow"),
+        ["n_regionkey"],
+        [("n_nationkey", "count", "n_nations"),
+         ("n_nationkey", "min", "min_nationkey")], merge_blocks=2)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_regionkey": b["n_regionkey"].combine_chunks(),
+            "n_nations": b["n_nations"].cast(pa.int64()),
+            "min_nationkey": b["min_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_SQL_Q45 = """
+SELECT n_regionkey, count(*) AS n_nations,
+       min(n_nationkey) AS min_nationkey
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q46_pushdown_scan(sf_dir: str):
+    """Predicate + projection pushdown at the READ (the 'prune at the
+    read' discipline): only two columns and the qualifying row groups of
+    lineitem ever leave storage — the filter is a pyarrow dataset
+    expression evaluated inside the scan, not a post-read map."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+        filter=(pds.field("l_quantity") >= 45.0))
+    prepped = ds.map_batches(
+        lambda b: pa.table({"l_returnflag": b["l_returnflag"].combine_chunks(),
+                            "price_c": _cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
+    agg = R.partial_groupby(prepped, ["l_returnflag"],
+                            [("price_c", "count", "n_items"),
+                             ("price_c", "sum", "total_cents")],
+                            merge_blocks=2)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "n_items": b["n_items"].cast(pa.int64()),
+            "total_cents": b["total_cents"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_SQL_Q46 = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM lineitem WHERE l_quantity >= 45.0
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1620,6 +1703,8 @@ QUERIES = {
     "q42_deterministic_sample": q42_deterministic_sample,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
     "q44_range_join": q44_range_join,
+    "q45_read_json_catalogue": q45_read_json_catalogue,
+    "q46_pushdown_scan": q46_pushdown_scan,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1667,4 +1752,6 @@ ORACLE_SQL = {
     "q42_deterministic_sample": _SQL_Q42,
     "q43_tfidf_top_terms": _SQL_Q43,
     "q44_range_join": _SQL_Q44,
+    "q45_read_json_catalogue": _SQL_Q45,
+    "q46_pushdown_scan": _SQL_Q46,
 }
