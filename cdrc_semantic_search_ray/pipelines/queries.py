@@ -1591,6 +1591,59 @@ GROUP BY l_returnflag
 """
 
 
+def q47_sliding_window(sf_dir: str):
+    """SLIDING event-time window (3 h length, 1 h slide — completes the
+    window family: tumbling q10, session q38): each event flat-maps into
+    its 3 covering windows (one vectorized concat of shifted copies per
+    batch), then the standard combiner groupby. Window cardinality rises
+    3×, raw rows never shuffle twice."""
+    WINDOW_HOURS = 3
+    HOUR_US = 3_600 * 1_000_000
+    ds = R.read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        hour = (hour.combine_chunks()
+                if isinstance(hour, pa.ChunkedArray) else hour)
+        h_us = hour.cast(pa.int64())
+        et = batch["event_type"].combine_chunks()
+        vc = _cents(batch["value"])
+        parts = []
+        for k in range(WINDOW_HOURS):
+            ws = pc.subtract(h_us, pa.scalar(k * HOUR_US, pa.int64()))
+            parts.append(pa.table({
+                "event_type": et,
+                "window_start": ws.cast(pa.timestamp("us")),
+                "value_c": vc,
+            }))
+        return pa.concat_tables(parts)
+
+    agg = R.partial_groupby(ds.map_batches(expand, batch_format="pyarrow"),
+                            ["event_type", "window_start"],
+                            [("value_c", "count", "n_events"),
+                             ("value_c", "sum", "total_cents")],
+                            merge_blocks=16)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"].combine_chunks(),
+            "window_start": b["window_start"].combine_chunks(),
+            "n_events": b["n_events"].cast(pa.int64()),
+            "total_cents": b["total_cents"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_SQL_Q47 = """
+SELECT event_type,
+       date_trunc('hour', ts) - k.k * INTERVAL 1 HOUR AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(100 * value) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events CROSS JOIN (VALUES (0), (1), (2)) AS k(k)
+GROUP BY event_type, window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1705,6 +1758,7 @@ QUERIES = {
     "q44_range_join": q44_range_join,
     "q45_read_json_catalogue": q45_read_json_catalogue,
     "q46_pushdown_scan": q46_pushdown_scan,
+    "q47_sliding_window": q47_sliding_window,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1754,4 +1808,5 @@ ORACLE_SQL = {
     "q44_range_join": _SQL_Q44,
     "q45_read_json_catalogue": _SQL_Q45,
     "q46_pushdown_scan": _SQL_Q46,
+    "q47_sliding_window": _SQL_Q47,
 }
