@@ -7,8 +7,9 @@ factor, plus representative operator pipelines at the same sf over the
 driver testdata tables.
 
     python bench.py              # one run: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
-    python bench.py --scaling    # two FRESH processes at 8 and 32 CPUs on the
-                                 # same input → throughputs + scaling efficiency
+    python bench.py --scaling    # interleaved FRESH-process pairs at N and 4N
+                                 # CPUs (default 4 and 16) on the same input →
+                                 # median efficiency + per-run raw JSON
 
 The corpus is generated once and cached under /tmp (generation is untimed;
 an untimed warm-read precedes timing so page cache doesn't skew the compare).

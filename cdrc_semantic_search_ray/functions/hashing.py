@@ -44,9 +44,12 @@ def jaccard(a: set, b: set) -> float:
 
 def char_shingle_codes(text: str, k: int = 5) -> np.ndarray:
     """Distinct k-BYTE window codes of the whitespace-normalized casefolded
-    text. For k <= 8 the window bytes ARE the code (injective — strictly
-    better than a 32-bit hash), computed with one sliding-window view + one
-    matvec; no per-shingle Python."""
+    text. For k <= 8 the window bytes ARE the code modulo 2^64 (injective —
+    the map is base-256 positional, so distinct windows give distinct
+    uint64s; for k=8 the top byte wraps but injectivity mod 2^64 holds by
+    construction), computed with one sliding-window view + one matvec in
+    uint64; no per-shingle Python. Returned as int64 (the same 64 bits
+    reinterpreted) for downstream numpy arithmetic."""
     if k > 8:
         raise ValueError("char_shingle_codes supports k <= 8")
     b = (" ".join(text.casefold().split())).encode()
@@ -55,9 +58,11 @@ def char_shingle_codes(text: str, k: int = 5) -> np.ndarray:
     if len(b) < k:
         b = b + b"\x00" * (k - len(b))
     a = np.frombuffer(b, dtype=np.uint8)
-    w = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.int64)
-    codes = w @ (256 ** np.arange(k, dtype=np.int64))
-    return np.unique(codes)
+    w = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
+    codes = w @ (np.uint64(256) ** np.arange(k, dtype=np.uint64))
+    # int64 view BEFORE unique: consumers (ngram prefix blocking) rely on
+    # the signed sort order the previous int64 kernel produced
+    return np.unique(codes.view(np.int64))
 
 
 def minhash_signatures_batch(code_arrays: list[np.ndarray], a: np.ndarray,

@@ -919,7 +919,6 @@ def q35_hybrid_topk(sf_dir: str):
     emap = {v: i for i, v in enumerate(qembs["vec_id"].to_pylist())}
     qm = np.stack([np.asarray(qembs["embedding"][emap[d]].as_py(),
                               dtype=np.float64) for d in q_ids])
-    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     ref = ray.put((q_ids, q_toks, qm))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -930,8 +929,13 @@ def q35_hybrid_topk(sf_dir: str):
         ids = np.asarray(batch["doc_id"].to_numpy())
         n = len(ids)
         emb = fixed_binary_to_matrix(batch["emb_bin"], np.float64)
-        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        cos = qmat @ emb.T  # (Q, n)
+        # mirror the oracle's list_cosine_similarity OPERATION ORDER
+        # (dot / (|a|·|b|), ONE division) rather than normalize-then-dot —
+        # a last-ulp difference there can flip round(1e6·score) (ADVICE r2)
+        norms = np.maximum(
+            np.outer(np.linalg.norm(qmat, axis=1),
+                     np.linalg.norm(emb, axis=1)), 1e-12)
+        cos = (qmat @ emb.T) / norms  # (Q, n)
 
         # pairwise query×doc token Jaccard as ONE incidence matmul (same
         # shape as dedup._block_jaccard) instead of Q×n Python set ops

@@ -58,8 +58,14 @@ def read_payload_files(dir_path: str | Path):
 
     def _parse(batch: pa.Table) -> pa.Table:
         path = batch["path"].combine_chunks().cast(pa.string())
-        fname = pc.extract_regex(path, r"(?P<stem>[0-9]+)\.(?P<kind>[a-z]+)$")
-        payload = batch["bytes"].combine_chunks()
+        # anchored to the writer's exact layout (kind ∈ _KINDS, '/' before
+        # the stem): a stale atomic-write temp file ('.0042.image.<pid>.tmp')
+        # or any foreign file must NOT parse as a phantom payload row
+        pat = rf"/(?P<stem>[0-9]+)\.(?P<kind>{'|'.join(_KINDS)})$"
+        fname = pc.extract_regex(path, pat)
+        ok = pc.is_valid(fname)
+        fname = fname.filter(ok)
+        payload = batch["bytes"].combine_chunks().filter(ok)
         return pa.table({
             "item_id": pc.struct_field(fname, "stem").cast(pa.int64()),
             "media_type": pc.struct_field(fname, "kind"),

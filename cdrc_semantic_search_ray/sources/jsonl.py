@@ -1,6 +1,6 @@
 """Paginated JSON source/sink — the reference's catalogue-API ingestion
 shape (S1: a paged JSON API crawled page by page,
-/root/reference/src/cdrc.py — here the pages land on disk and
+/root/reference/src/query_api.py:38 — here the pages land on disk and
 ``ray.data.read_json`` streams them; swapping the page writer for an HTTP
 fetcher is the documented network seam, out of sandbox scope).
 """

@@ -73,9 +73,12 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
                                          batch_format="pyarrow")
         tagged.write_parquet(str(traw_dir), partition_cols=["part_id"])
         wall = time.time() - t0
+        import pyarrow.parquet as pq  # explicit: pa.parquet only exists
+        #                               after someone imports it (ADVICE r2)
+
         for p in range(num_parts):
             pdir = traw_dir / f"part_id={p}"
-            rows = sum(pa.parquet.read_metadata(f).num_rows
+            rows = sum(pq.read_metadata(f).num_rows
                        for f in pdir.glob("*.parquet")) if pdir.exists() else 0
             man.record("triples_raw", p, rows, wall_s=wall / num_parts)
         man.mark_stage_done("triples_raw")
