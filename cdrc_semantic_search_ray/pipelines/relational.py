@@ -97,60 +97,82 @@ def column_key_set(ds, col: str) -> set:
     return out
 
 
-def _bucket_array(keys: pa.Array, num_buckets: int) -> pa.Array:
-    """Vectorized, process-stable bucket of a key array (int32).
+def _bucket_arrays(ks: list[pa.Array], num_buckets: int) -> pa.Array:
+    """Vectorized, process-stable bucket of one-or-more key arrays (int32).
 
-    Integers bucket by value; strings (and everything else) by pandas'
-    vectorized siphash (``pd.util.hash_array`` with its fixed default key —
-    deterministic across processes/nodes), the same kernel
-    ``stages/keyblocks.map_hash_blocks`` uses. Join keys must be non-null.
-    """
-    import pandas as pd
-
-    if pa.types.is_integer(keys.type):
-        h = keys.to_numpy().astype(np.int64, copy=False) % num_buckets
+    A single integer key buckets by value (transparent, skew-debuggable);
+    everything else — strings, composites, timestamps — hashes through
+    polars' vectorized row hash (ahash with fixed seeds: deterministic
+    across processes/nodes, zero-copy from Arrow, no ``to_pylist``
+    object materialization on the exchange-tagging path). Buckets control
+    PLACEMENT only — the per-block join/groupby runs on the real keys — so
+    semantics never depend on the hash function."""
+    if len(ks) == 1 and pa.types.is_integer(ks[0].type):
+        h = ks[0].to_numpy().astype(np.int64, copy=False) % num_buckets
         return pa.array(h.astype(np.int32))
-    np_keys = np.asarray(keys.cast(pa.string()).to_pylist(), dtype=object)
-    h = pd.util.hash_array(np_keys) % num_buckets
-    return pa.array(h.astype(np.int32))
+    import polars as pl
+
+    t = pa.table({f"k{i}": a for i, a in enumerate(ks)})
+    h = pl.from_arrow(t).hash_rows(seed=0).to_numpy()
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
-def hash_join(left, right, left_key: str, right_key: str,
+_ALLOWED_JOINS = ("inner", "left outer", "left semi", "left anti")
+
+
+def hash_join(left, right, left_key, right_key,
               num_buckets: int = 64, join_type: str = "inner"):
     """Bucketed hash join for two LARGE datasets (one all-to-all shuffle).
 
-    Both sides are tagged and bucketed by ``hash(key) % B`` (vectorized, see
-    :func:`_bucket_array`), unioned under a shared ``__key`` column (only
-    PAYLOAD columns of the other side are null-padded — the key itself is
-    never duplicated), shuffled once on the int32 bucket, and joined per
-    block with a vectorized Acero join. Assumes any single bucket fits in a
-    worker's heap — raise ``num_buckets`` for bigger data or skew.
+    ``left_key`` / ``right_key``: a column name or an equal-length LIST of
+    names (composite equi-join). Both sides are tagged and bucketed by
+    ``hash(keys) % B`` (vectorized, see :func:`_bucket_arrays`), unioned
+    under shared ``__key{i}`` columns (only PAYLOAD columns of the other
+    side are null-padded — keys are never duplicated), shuffled once on the
+    int32 bucket, and joined per block with a vectorized Acero join.
+    Assumes any single bucket fits in a worker's heap — raise
+    ``num_buckets`` for bigger data or skew.
 
-    ``join_type``: any Acero type — ``inner``, ``left outer``, ``left
-    semi``, ``left anti`` (semi/anti return LEFT columns only).
+    ``join_type``: ``inner``, ``left outer``, ``left semi``, ``left anti``
+    (semi/anti return LEFT columns only). ``right outer`` / ``full outer``
+    raise ``NotImplementedError`` — output key columns come from the LEFT
+    side here, which would silently drop unmatched right-side keys.
     """
+    lk = [left_key] if isinstance(left_key, str) else list(left_key)
+    rk = [right_key] if isinstance(right_key, str) else list(right_key)
+    if len(lk) != len(rk) or not lk:
+        raise ValueError("left_key/right_key must be same-length, non-empty")
+    if join_type not in _ALLOWED_JOINS:
+        raise NotImplementedError(
+            f"join_type {join_type!r}: only {_ALLOWED_JOINS} are supported "
+            "(right/full outer would drop unmatched right-side keys)")
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
-    lpay = [c for c in lcols if c != left_key]
-    rpay = [c for c in rcols if c != right_key]
+    lpay = [c for c in lcols if c not in lk]
+    rpay = [c for c in rcols if c not in rk]
     shared = set(lpay) & set(rpay)
     if shared:
         raise ValueError(f"ambiguous columns: {shared}")
+    clash = set(rpay) & set(lk)
+    if clash:
+        raise ValueError(f"right payload collides with left keys: {clash}")
     ltypes = dict(zip(left.schema().names, left.schema().types))
     rtypes = dict(zip(right.schema().names, right.schema().types))
-    key_type = ltypes[left_key]
+    key_types = [ltypes[k] for k in lk]
+    key_cols = [f"{_KEY_COL}{i}" for i in range(len(lk))]
     semi_or_anti = join_type in ("left semi", "left anti")
 
     def tag_side(side: int):
-        key = left_key if side == 0 else right_key
+        keys_in = lk if side == 0 else rk
         own = set(lpay if side == 0 else rpay)
 
         def fn(batch: pa.Table) -> pa.Table:
-            ks = batch[key].combine_chunks().cast(key_type)
+            ks = [batch[k].combine_chunks().cast(t)
+                  for k, t in zip(keys_in, key_types)]
             cols = {
-                _BUCKET_COL: _bucket_array(ks, num_buckets),
+                _BUCKET_COL: _bucket_arrays(ks, num_buckets),
                 _SIDE_COL: pa.array(np.full(len(batch), side, dtype=np.int8)),
-                _KEY_COL: ks,
+                **dict(zip(key_cols, ks)),
             }
             for c in lpay + rpay:
                 if c in own:
@@ -164,8 +186,7 @@ def hash_join(left, right, left_key: str, right_key: str,
     tagged = left.map_batches(tag_side(0), batch_format="pyarrow").union(
         right.map_batches(tag_side(1), batch_format="pyarrow"))
 
-    out_cols = ([left_key] + lpay if semi_or_anti
-                else [left_key] + lpay + rpay)
+    out_cols = (lk + lpay if semi_or_anti else lk + lpay + rpay)
 
     def join_block(block: pa.Table) -> pa.Table:
         """One vectorized Acero join per BLOCK: equal keys share a bucket
@@ -174,12 +195,11 @@ def hash_join(left, right, left_key: str, right_key: str,
         without a Python call per bucket."""
         side = block[_SIDE_COL]
         lmask = pc.equal(side, 0)
-        lt = block.filter(lmask).select([_KEY_COL] + lpay) \
-                  .rename_columns([left_key] + lpay)
-        rt = block.filter(pc.invert(lmask)).select([_KEY_COL] + rpay) \
-                  .rename_columns([right_key] + rpay)
-        joined = lt.join(rt, keys=[left_key], right_keys=[right_key],
-                         join_type=join_type)
+        lt = block.filter(lmask).select(key_cols + lpay) \
+                  .rename_columns(lk + lpay)
+        rt = block.filter(pc.invert(lmask)).select(key_cols + rpay) \
+                  .rename_columns(rk + rpay)
+        joined = lt.join(rt, keys=lk, right_keys=rk, join_type=join_type)
         # Acero may reorder; normalize column order
         want = [c for c in out_cols if c in joined.column_names]
         return joined.select(want)

@@ -53,20 +53,10 @@ def map_hash_blocks(ds, keys: list[str], fn, num_buckets: int = 1024,
     key but NOT key-sorted — ``fn`` must locally sort/group (vectorized,
     parallel per block) if it needs runs.
     """
-    import pandas as pd
-
-    sep = pa.array(["\x1f"])
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        if len(keys) == 1:
-            combined = batch[keys[0]].combine_chunks().cast(pa.string())
-        else:
-            combined = pc.binary_join_element_wise(
-                *[batch[k].combine_chunks().cast(pa.string()) for k in keys],
-                sep[0].as_py())
-        h = pd.util.hash_array(np.asarray(combined.to_pylist(), dtype=object))
         return batch.append_column(
-            "__kb_bucket", pa.array((h % num_buckets).astype(np.int32)))
+            "__kb_bucket", bucket_of_rows(batch, keys, num_buckets))
 
     def drop_and_apply(block: pa.Table) -> pa.Table:
         return fn(block.drop_columns(["__kb_bucket"]))
@@ -77,6 +67,20 @@ def map_hash_blocks(ds, keys: list[str], fn, num_buckets: int = 1024,
         bucketed = bucketed.repartition(num_blocks)
     return bucketed.sort("__kb_bucket").map_batches(
         drop_and_apply, batch_size=None, batch_format="pyarrow", **map_opts)
+
+
+def bucket_of_rows(batch: pa.Table, keys: list[str],
+                   num_buckets: int) -> pa.Array:
+    """int32 bucket per row from a cross-process-stable vectorized row hash
+    (polars ahash, fixed seeds — zero-copy from Arrow; replaced the
+    ``to_pylist`` → ``pd.util.hash_array`` object materialization that
+    dominated exchange tagging, round-2 VERDICT #4). Buckets control
+    placement only; per-block group/join logic always re-reads real keys,
+    so results are hash-function-independent."""
+    import polars as pl
+
+    h = pl.from_arrow(batch.select(keys)).hash_rows(seed=0).to_numpy()
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
 def run_starts(block: pa.Table, keys: list[str]) -> np.ndarray:

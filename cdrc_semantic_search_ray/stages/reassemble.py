@@ -78,14 +78,12 @@ def _default_buckets() -> int:
 
 
 def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Deterministic uniform bucket per conv_id (vectorized C hash)."""
-    import numpy as np
-    import pandas as pd
+    """Deterministic uniform bucket per conv_id (vectorized, zero-copy —
+    see keyblocks.bucket_of_rows)."""
+    from .keyblocks import bucket_of_rows
 
-    h = pd.util.hash_array(
-        np.asarray(batch["conv_id"].to_pylist(), dtype=object))
     return batch.append_column(
-        "bucket", pa.array((h % num_buckets).astype(np.int32)))
+        "bucket", bucket_of_rows(batch, ["conv_id"], num_buckets))
 
 
 def reassemble(transcripts, num_buckets: int | None = None

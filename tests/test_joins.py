@@ -49,8 +49,49 @@ def test_anti_join_shuffle_matches_broadcast(ray_session):
     assert len(bcast) > 0
 
 
+def test_hash_join_composite_keys(ray_session):
+    """Multi-column equi-join (round-2 VERDICT missing #1): the bucketed
+    composite-key path must match the single-join-per-pair DuckDB result."""
+    import duckdb
+
+    li = R.read_table(SF_DIR, "lineitem",
+                      ["l_partkey", "l_suppkey", "l_quantity"])
+    agg = R.partial_groupby(
+        R.read_table(SF_DIR, "lineitem", ["l_partkey", "l_suppkey"])
+         .map_batches(lambda b: b.rename_columns(["pk", "sk"]),
+                      batch_format="pyarrow"),
+        ["pk", "sk"], [("pk", "count", "n_lines")])
+    joined = R.hash_join(li, agg, ["l_partkey", "l_suppkey"], ["pk", "sk"],
+                         num_buckets=16).to_pandas()
+    want = duckdb.sql(f"""
+        WITH ps AS (SELECT l_partkey pk, l_suppkey sk, count(*) n_lines
+                    FROM '{SF_DIR}/lineitem.parquet' GROUP BY pk, sk)
+        SELECT l.l_partkey, l.l_suppkey, l.l_quantity, ps.n_lines
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN ps ON l.l_partkey = ps.pk AND l.l_suppkey = ps.sk
+    """).df()
+    got = _canon(joined.astype({"n_lines": "int64"}))
+    exp = _canon(want.astype({"n_lines": "int64"}))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_hash_join_rejects_unsupported_types(ray_session):
+    """right/full outer must raise loudly — output keys come from the left
+    side, so unmatched right keys would silently vanish."""
+    import pytest
+
+    li = R.read_table(SF_DIR, "lineitem", ["l_partkey", "l_quantity"])
+    part = R.read_table(SF_DIR, "part", ["p_partkey", "p_brand"])
+    for jt in ("right outer", "full outer", "right semi"):
+        with pytest.raises(NotImplementedError):
+            R.hash_join(li, part, "l_partkey", "p_partkey", join_type=jt)
+    with pytest.raises(ValueError):
+        R.hash_join(li, part, ["l_partkey"], ["p_partkey", "p_brand"])
+
+
 def test_hash_join_string_keys(ray_session):
-    """The vectorized string-key bucket path (pd.util.hash_array) joins
+    """The vectorized string-key bucket path (polars row hash) joins
     correctly: documents ⨝ distinct(lang) built from the same table."""
     docs = R.read_table(SF_DIR, "documents", ["doc_id", "lang"])
     langs = R.distinct(R.read_table(SF_DIR, "documents", ["lang"]),
