@@ -90,6 +90,18 @@ def test_hash_join_rejects_unsupported_types(ray_session):
         R.hash_join(li, part, ["l_partkey"], ["p_partkey", "p_brand"])
 
 
+def test_q43_open_vocab_join_matches_broadcast(ray_session):
+    """q43's documented open-vocabulary fallback: forcing the df gate to 0
+    (bucketed hash_join on term) must reproduce the broadcast-path result
+    exactly (round-2 VERDICT wrong #3)."""
+    from cdrc_semantic_search_ray.pipelines import queries as Q
+
+    bcast = Q.q43_tfidf_top_terms(SF_DIR, df_broadcast_limit=10**9).to_pandas()
+    shuf = Q.q43_tfidf_top_terms(SF_DIR, df_broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(_canon(bcast), _canon(shuf))
+    assert len(bcast) > 0
+
+
 def test_hash_join_string_keys(ray_session):
     """The vectorized string-key bucket path (polars row hash) joins
     correctly: documents ⨝ distinct(lang) built from the same table."""
