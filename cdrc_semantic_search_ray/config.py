@@ -30,6 +30,11 @@ class EngineConfig:
     salt_threshold: int = 512      # block sizes above this get salted
     salt_factor: int = 8
     max_pairs_per_block: int = 20_000
+    pair_vec_broadcast_limit: int = 2_000_000  # vector tables <= this many
+    #                                rows broadcast one (ids, matrix) to the
+    #                                pair-scoring stage; larger ones attach
+    #                                vectors via two bucketed hash joins
+    #                                (stages/blocking.score_pairs)
     canon_max_rounds: int = 16     # label-propagation fixpoint bound
     canon_driver_threshold: int = 2_000_000  # pair sets <= this collapse on
     #                                the driver (SURVEY.md §7.4 residual

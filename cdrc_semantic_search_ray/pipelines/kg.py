@@ -179,39 +179,21 @@ def _canonicalize_local(catalogue_path: str, cfg: EngineConfig):
     """Small-catalogue fast path: the SAME blocking → pairs → union-find
     logic, run once on the driver (pure pyarrow/numpy, zero Ray jobs).
 
-    Reuses the identical batch functions the distributed path maps over
-    blocks (block_keys_batch / make_pairs_block_fn), so pair sets — and
-    therefore canon labels — are byte-identical to the distributed result.
-    The distributed path (below) is the scale path; ~8 sequential Ray jobs
-    over a few-thousand-row catalogue are pure fixed overhead.
+    Runs the distributed path's exact kernels via
+    :func:`..stages.blocking.candidate_pairs_local`, so pair sets — and
+    therefore canon labels — are identical to the distributed result
+    (test-enforced). The distributed path (below) is the scale path; ~8
+    sequential Ray jobs over a few-thousand-row catalogue are pure fixed
+    overhead.
     """
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ..stages.blocking import block_keys_batch, make_pairs_block_fn
+    from ..stages.blocking import candidate_pairs_local
 
     cat = pq.read_table(catalogue_path, columns=["entity_id", "vec"])
-    blocks = block_keys_batch(
+    pairs = candidate_pairs_local(
         pa.table({"node_id": cat["entity_id"], "vec": cat["vec"]}), cfg=cfg)
-    # hot-key salting: same threshold semantics as blocking.find_hot_keys
-    counts = blocks.group_by("block_key").aggregate([("block_key", "count")])
-    hot = set(counts.filter(
-        pc.greater(counts["block_key_count"], cfg.salt_threshold)
-    )["block_key"].to_pylist())
-    if hot:
-        import zlib
-
-        keys = blocks["block_key"].to_pylist()
-        ids = blocks["node_id"].to_pylist()
-        salted = [
-            f"{k}#{zlib.crc32(i.encode()) % cfg.salt_factor}" if k in hot else k
-            for k, i in zip(keys, ids)
-        ]
-        blocks = blocks.set_column(
-            blocks.schema.get_field_index("block_key"), "block_key",
-            pa.array(salted, type=pa.string()))
-    pairs = make_pairs_block_fn(cfg)(blocks.sort_by("block_key"))
-    pairs = pairs.group_by(["a", "b"]).aggregate([("score", "max")])
 
     parent: dict[str, str] = {}
 

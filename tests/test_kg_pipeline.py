@@ -162,6 +162,38 @@ def test_canonicalize_distributed_matches_local(unit_corpus):
     assert local == dist
 
 
+def test_candidate_pairs_join_scoring_matches_broadcast(ray_session,
+                                                        unit_corpus):
+    """score_pairs' two paths must agree bit-exactly: broadcast (ids,
+    matrix) gather vs pair_vec_broadcast_limit=0 (two bucketed hash joins
+    on fixed-size-binary vectors) — same shared scoring kernel."""
+    from dataclasses import replace
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG
+    from cdrc_semantic_search_ray.stages.blocking import candidate_pairs
+
+    cat = pq.read_table(unit_corpus / "catalogue.parquet",
+                        columns=["entity_id", "vec"])
+    tbl = pa.table({"node_id": cat["entity_id"], "vec": cat["vec"]})
+
+    def pset(ds):
+        out = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.update({(a, x): s for a, x, s in zip(
+                b["a"].to_pylist(), b["b"].to_pylist(),
+                b["score"].to_pylist())})
+        return out
+
+    base = pset(candidate_pairs(rd.from_arrow(tbl), DEFAULT_CONFIG))
+    joined = pset(candidate_pairs(
+        rd.from_arrow(tbl),
+        replace(DEFAULT_CONFIG, pair_vec_broadcast_limit=0)))
+    assert base and base == joined
+
+
 def test_actor_pool_path_matches_task_path(unit_corpus):
     """use_actor_pools=True (the GPU-model seam) and the default task path
     must produce identical triples and links."""
