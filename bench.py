@@ -143,46 +143,96 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
-    """Two fresh processes (N and 4N CPUs), same input → scaling efficiency.
+    """Robust scaling-efficiency measurement (round-2 VERDICT top item: a
+    single (lo, hi) pair did not reproduce under host contention).
 
-    Sandbox stand-in for the north rule's two-cluster-size criterion (no
-    real multi-node cluster here; see BASELINE.md). Uses a corpus large
-    enough (SCALING_CONVS conversations ≈ 8×SCALING_CONVS turns) that
-    per-turn compute, not fixed per-job overhead, dominates at 32 CPUs."""
+    Protocol:
+    - ``GRAFT_SCALING_PAIRS`` (default 3) INTERLEAVED (lo, hi) pairs, each
+      leg a FRESH process at ``ray.init(num_cpus=N)`` over the same cached
+      corpus — the sandbox stand-in for the north rule's two-cluster-size
+      criterion (no real multi-node cluster here; see BASELINE.md).
+    - reported efficiency = MEDIAN of the per-pair efficiencies; spread =
+      (min, max) across pairs.
+    - contention sentinel: the lo leg is re-run once at the end; if its
+      throughput drifted > ``GRAFT_SCALING_DRIFT`` (default 15 %) from the
+      median lo throughput, the host was contended mid-trial and the result
+      carries ``"contended": true`` — rerun on a quiet host before trusting
+      a failing number.
+    - every raw per-run record (leg order, seconds, throughput, loadavg
+      before the leg) is persisted to ``SCALING_RAW.json`` next to this
+      file AND embedded in the printed JSON.
 
-    def run(ncpu: int) -> dict:
+    Corpus sizing: SCALING_CONVS conversations ≈ 8× that in turns — large
+    enough that per-turn compute, not fixed per-job overhead, dominates at
+    the hi width (efficiency measured in the overhead-bound regime says
+    nothing about cluster scaling)."""
+    import statistics
+
+    def run(ncpu: int, tag: str) -> dict:
+        load_before = os.getloadavg()[0]
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_KG_ONLY="1",
                    GRAFT_BENCH_CONVS=str(SCALING_CONVS))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        return {"tag": tag, "cpus": ncpu,
+                "sec": r["queries"]["kg_pipeline"],
+                "turns_per_sec": r["kg_turns_per_sec"],
+                "loadavg_before": round(load_before, 2)}
 
     os.environ["GRAFT_BENCH_CONVS"] = str(SCALING_CONVS)
-    _ensure_corpus()  # generate once, untimed, shared by both runs
+    _ensure_corpus()  # generate once, untimed, shared by all runs
     # 4 → 16 of the host's 32 cores: at full host width the "cluster"
     # competes with Ray's own system processes (raylet, object store, the
     # driver), which caps apparent efficiency for reasons that would not
     # exist on a real 4N-node cluster. Both widths leave host headroom.
     lo, hi = (int(os.environ.get("GRAFT_SCALING_LO", "4")),
               int(os.environ.get("GRAFT_SCALING_HI", "16")))
-    r_lo, r_hi = run(lo), run(hi)
-    tp_lo = r_lo["kg_turns_per_sec"]
-    tp_hi = r_hi["kg_turns_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
-    return {
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    drift_tol = float(os.environ.get("GRAFT_SCALING_DRIFT", "0.15"))
+
+    raws: list[dict] = []
+    effs: list[float] = []
+    for i in range(n_pairs):
+        r_lo = run(lo, f"pair{i}_lo")
+        r_hi = run(hi, f"pair{i}_hi")
+        raws.extend([r_lo, r_hi])
+        effs.append((r_hi["turns_per_sec"] / r_lo["turns_per_sec"])
+                    / (hi / lo))
+    sentinel = run(lo, "sentinel_lo")
+    raws.append(sentinel)
+
+    med_lo = statistics.median(
+        r["turns_per_sec"] for r in raws if r["cpus"] == lo
+        and r["tag"] != "sentinel_lo")
+    drift = abs(sentinel["turns_per_sec"] - med_lo) / med_lo
+    eff = statistics.median(effs)
+
+    result = {
         "metric": f"kg_pipeline scaling efficiency ({lo} → {hi} CPUs, "
-                  "fresh processes)",
+                  f"median of {n_pairs} interleaved fresh-process pairs)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": _sf(),
         "cpus_lo": lo, "cpus_hi": hi,
-        "sec_lo": r_lo["queries"]["kg_pipeline"],
-        "sec_hi": r_hi["queries"]["kg_pipeline"],
-        "turns_per_sec_lo": tp_lo,
-        "turns_per_sec_hi": tp_hi,
+        "pairs": n_pairs,
+        "efficiencies": [round(e, 3) for e in effs],
+        "eff_spread": [round(min(effs), 3), round(max(effs), 3)],
+        "turns_per_sec_lo": med_lo,
+        "turns_per_sec_hi": statistics.median(
+            r["turns_per_sec"] for r in raws if r["cpus"] == hi),
+        "sentinel_lo_drift": round(drift, 3),
+        "contended": drift > drift_tol,
         "scaling_efficiency": round(eff, 3),
+        "raw_runs": raws,
     }
+    try:
+        raw_path = Path(__file__).parent / "SCALING_RAW.json"
+        raw_path.write_text(json.dumps(result, indent=1))
+    except OSError:
+        pass
+    return result
 
 
 if __name__ == "__main__":

@@ -97,20 +97,19 @@ def topk_bruteforce(embeddings, query_ids: list[int], k: int = 5):
         ids = np.asarray(batch["vec_id"].to_numpy())
         m = _normalize(_batch_matrix(batch))
         sims = qm @ m.T  # (Q, B)
+        nq = len(qids)
         kk = min(k + 1, sims.shape[1])  # +1 in case self is in this batch
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qi in range(len(qids)):
-            for j in part[qi]:
-                if ids[j] == qids[qi]:
-                    continue
-                rows["query_id"].append(int(qids[qi]))
-                rows["neighbor_id"].append(int(ids[j]))
-                rows["sim"].append(float(sims[qi, j]))
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        # fully vectorized emit (round-2 VERDICT minor #5): repeat/gather,
+        # one self-match mask — no per-(query, k) Python appends
+        q_rep = np.repeat(qids.astype(np.int64), kk)
+        nid = ids[part.reshape(-1)]
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        keep = nid != q_rep
         return pa.table({
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-            "sim": pa.array(rows["sim"], pa.float64()),
+            "query_id": pa.array(q_rep[keep]),
+            "neighbor_id": pa.array(nid[keep].astype(np.int64)),
+            "sim": pa.array(sv[keep], pa.float64()),
         })
 
     partials = embeddings.map_batches(partial, batch_format="pyarrow")
@@ -162,25 +161,28 @@ def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
         ids = np.asarray(batch["vec_id"].to_numpy())
         buckets = np.asarray(batch["bucket"].to_numpy())
         m = _normalize(_batch_matrix(batch))
-        rows = {"query_id": [], "neighbor_id": [], "sim": []}
-        for qi in range(len(qids)):
-            mask = np.isin(buckets, list(probes_[qi]))
+        q_out, n_out, s_out = [], [], []
+        for qi in range(len(qids)):  # probe masks differ per query; the
+            mask = np.isin(buckets, list(probes_[qi]))  # emit is vectorized
             if not mask.any():
                 continue
             sims = qm[qi] @ m[mask].T
             sub_ids = ids[mask]
             kk = min(k + 1, len(sub_ids))
             part = np.argpartition(-sims, kk - 1)[:kk]
-            for j in part:
-                if sub_ids[j] == qids[qi]:
-                    continue
-                rows["query_id"].append(int(qids[qi]))
-                rows["neighbor_id"].append(int(sub_ids[j]))
-                rows["sim"].append(float(sims[j]))
+            sub = sub_ids[part]
+            keep = sub != qids[qi]
+            q_out.append(np.full(int(keep.sum()), qids[qi], dtype=np.int64))
+            n_out.append(sub[keep].astype(np.int64))
+            s_out.append(sims[part][keep])
+        if not q_out:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         return pa.table({
-            "query_id": pa.array(rows["query_id"], pa.int64()),
-            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
-            "sim": pa.array(rows["sim"], pa.float64()),
+            "query_id": pa.array(np.concatenate(q_out)),
+            "neighbor_id": pa.array(np.concatenate(n_out)),
+            "sim": pa.array(np.concatenate(s_out), pa.float64()),
         })
 
     partials = bucketed.map_batches(partial, batch_format="pyarrow")
