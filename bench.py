@@ -93,10 +93,13 @@ def bench_queries() -> dict[str, float]:
     picks = ["q01_pricing_summary", "q06_count_by_group", "q09_topk_per_group",
              "q14_hash_join_agg", "q16_journeys", "q17_exact_dedup",
              "q18_minhash_lsh_dedup", "q21_embedding_neardup",
-             "q23_similarity_topk", "q25_token_count", "q26_text_quality",
+             "q22_embedding_neardup_lsh", "q23_similarity_topk",
+             "q25_token_count", "q26_text_quality",
              "q35_hybrid_topk", "q38_sessionize", "q39_quantiles",
              "q40_asof_join", "q41_embedding_centroids",
-             "q43_tfidf_top_terms"]
+             "q43_tfidf_top_terms", "q48_composite_join",
+             "q49_approx_distinct", "q50_approx_quantiles",
+             "q51_shuffled_export"]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.time()

@@ -724,7 +724,12 @@ def build_graph(corpus_dir: str | Path, cfg: EngineConfig = DEFAULT_CONFIG,
     lexicon = str(corpus / "lexicon.parquet")
     catalogue = str(corpus / "catalogue.parquet")
 
-    conversations = build_conversations(corpus)
+    # Prune at the read: extraction consumes ONLY (conv_id, turn_idx, text)
+    # — golden.py:51 is the semantic contract — so role/tool/ts never leave
+    # storage or ride the reassembly exchange on the production path
+    # (run_kg keeps the full-column conversations artifact for consumers).
+    conversations = build_conversations(
+        corpus, columns=["conv_id", "turn_idx", "text"])
     # Materialize extraction as its own job: at small cluster widths the
     # streaming executor splits CPUs among all live operators, and fusing
     # extraction with the edge shuffle starved it (measured 2.9 effective
