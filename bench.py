@@ -150,10 +150,18 @@ def run_scaling() -> dict:
     single (lo, hi) pair did not reproduce under host contention).
 
     Protocol:
+    - one UNTIMED warm-up leg first (discarded): measured on this VM, the
+      first run after an idle period is up to 40 % slower than steady state
+      (CPU-frequency / host-cache warm-up — loadavg 0.6 runs were the
+      SLOWEST in the round-3 trial), which would bias whichever leg runs
+      first.
     - ``GRAFT_SCALING_PAIRS`` (default 3) INTERLEAVED (lo, hi) pairs, each
-      leg a FRESH process at ``ray.init(num_cpus=N)`` over the same cached
-      corpus — the sandbox stand-in for the north rule's two-cluster-size
-      criterion (no real multi-node cluster here; see BASELINE.md).
+      leg the BEST of ``GRAFT_SCALING_REPS`` (default 2) FRESH processes at
+      ``ray.init(num_cpus=N)`` over the same cached corpus — the sandbox
+      stand-in for the north rule's two-cluster-size criterion (no real
+      multi-node cluster here; see BASELINE.md). Min wall time is the
+      standard noise-robust benchmark estimator (external contention only
+      ever ADDS time).
     - reported efficiency = MEDIAN of the per-pair efficiencies; spread =
       (min, max) across pairs.
     - contention sentinel: the lo leg is re-run once at the end; if its
@@ -193,22 +201,31 @@ def run_scaling() -> dict:
     lo, hi = (int(os.environ.get("GRAFT_SCALING_LO", "4")),
               int(os.environ.get("GRAFT_SCALING_HI", "16")))
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    n_reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     drift_tol = float(os.environ.get("GRAFT_SCALING_DRIFT", "0.15"))
 
     raws: list[dict] = []
+
+    def best_leg(ncpu: int, tag: str) -> dict:
+        reps = [run(ncpu, f"{tag}_rep{j}") for j in range(n_reps)]
+        raws.extend(reps)
+        return max(reps, key=lambda r: r["turns_per_sec"])
+
+    raws.append(run(hi, "warmup_discard"))  # untimed: VM steady-state
     effs: list[float] = []
+    best_los: list[dict] = []
+    best_his: list[dict] = []
     for i in range(n_pairs):
-        r_lo = run(lo, f"pair{i}_lo")
-        r_hi = run(hi, f"pair{i}_hi")
-        raws.extend([r_lo, r_hi])
+        r_lo = best_leg(lo, f"pair{i}_lo")
+        r_hi = best_leg(hi, f"pair{i}_hi")
+        best_los.append(r_lo)
+        best_his.append(r_hi)
         effs.append((r_hi["turns_per_sec"] / r_lo["turns_per_sec"])
                     / (hi / lo))
     sentinel = run(lo, "sentinel_lo")
     raws.append(sentinel)
 
-    med_lo = statistics.median(
-        r["turns_per_sec"] for r in raws if r["cpus"] == lo
-        and r["tag"] != "sentinel_lo")
+    med_lo = statistics.median(r["turns_per_sec"] for r in best_los)
     drift = abs(sentinel["turns_per_sec"] - med_lo) / med_lo
     eff = statistics.median(effs)
 
@@ -224,7 +241,7 @@ def run_scaling() -> dict:
         "eff_spread": [round(min(effs), 3), round(max(effs), 3)],
         "turns_per_sec_lo": med_lo,
         "turns_per_sec_hi": statistics.median(
-            r["turns_per_sec"] for r in raws if r["cpus"] == hi),
+            r["turns_per_sec"] for r in best_his),
         "sentinel_lo_drift": round(drift, 3),
         "contended": drift > drift_tol,
         "scaling_efficiency": round(eff, 3),

@@ -86,8 +86,8 @@ def _add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
         "bucket", bucket_of_rows(batch, ["conv_id"], num_buckets))
 
 
-def reassemble(transcripts, num_buckets: int | None = None
-               ) -> "ray.data.Dataset":  # noqa: F821
+def reassemble(transcripts, num_buckets: int | None = None,
+               coalesce: bool = True) -> "ray.data.Dataset":  # noqa: F821
     """transcripts (flat turns, arbitrary row order) → conversations.
 
     Output schema: ``conv_id:string, n_turns:int32,
@@ -113,8 +113,11 @@ def reassemble(transcripts, num_buckets: int | None = None
     # hundreds of small blocks (measured 256×256 = 65k pieces, sort wall
     # 9.4 s at 16 CPUs of which only ~2 s was task time). ~4 blocks/CPU
     # keeps extraction granularity (the downstream per-block stage) while
-    # cutting exchange pieces ~16×.
-    bucketed = bucketed.repartition(_sort_width())
+    # cutting exchange pieces ~16×. Callers that already size their read
+    # to the sort width (kg.build_conversations) pass coalesce=False and
+    # skip this pass entirely.
+    if coalesce:
+        bucketed = bucketed.repartition(_sort_width())
     return bucketed.sort("bucket").map_batches(
         _drop_bucket_and_nest, batch_size=None, batch_format="pyarrow"
     )
