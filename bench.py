@@ -28,9 +28,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS_PER_SF = 125_000  # sf0.1 → 12,500 convs ≈ 100k turns
 # --scaling corpus: large enough that per-turn compute dominates fixed
-# per-job overhead at 32 CPUs — efficiency measured in the overhead-bound
-# regime says nothing about cluster scaling (see BASELINE.md)
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "600000"))
+# per-job overhead at the hi width — efficiency measured in the
+# overhead-bound regime says nothing about cluster scaling (see BASELINE.md).
+# The corpus tracks per-turn compute: each time the extractor gets faster
+# the corpus grows to keep the hi leg compute-dominated (round-2 precedent:
+# 300k→600k; round-3: the hi leg dropped 34→22 s, so 600k→1.2M — the
+# 10^12-turn design point is far deeper into this regime).
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", "1200000"))
 KG_ONLY = os.environ.get("GRAFT_BENCH_KG_ONLY") == "1"
 
 
