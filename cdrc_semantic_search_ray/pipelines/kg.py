@@ -82,10 +82,20 @@ def read_transcripts(corpus_dir: str | Path, columns=None,
                            columns=columns or TRANSCRIPT_COLS, **kwargs)
 
 
-def _read_width() -> int:
+def _read_width(corpus_dir: str | Path) -> int:
+    """Sort/read width: ~4 blocks/CPU, clamped so a sort block holds at
+    least ~25k turns — at small inputs full cluster width just multiplies
+    exchange pieces and per-task fixed costs (measured: the sf0.1 headline
+    regressed 3.1 → 5.1 s when 100k turns ran at 128 partitions). Row count
+    comes from parquet footers (metadata-only, no data read)."""
+    import pyarrow.parquet as pq
+
     from ..stages.reassemble import _sort_width
 
-    return _sort_width()
+    n_rows = 0
+    for f in sorted(Path(corpus_dir, "transcripts").glob("*.parquet")):
+        n_rows += pq.read_metadata(f).num_rows
+    return max(8, min(_sort_width(), n_rows // 25_000))
 
 
 def build_conversations(corpus_dir: str | Path, columns=None):
@@ -94,7 +104,7 @@ def build_conversations(corpus_dir: str | Path, columns=None):
     full AllToAll over the turn table — measured ~2 s of task time at 16
     CPUs on 4.8M turns)."""
     return reassemble(read_transcripts(corpus_dir, columns,
-                                       num_blocks=_read_width()),
+                                       num_blocks=_read_width(corpus_dir)),
                       coalesce=False)
 
 
