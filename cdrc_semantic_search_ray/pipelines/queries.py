@@ -1765,6 +1765,51 @@ FROM k
 """
 
 
+def q52_running_total(sf_dir: str):
+    """Cumulative (running-total) window per user ordered by event time —
+    completes the window family (tumbling q10, session q38, sliding q47,
+    as-of q40): ONE key shuffle, then a per-block vectorized segmented
+    cumulative sum (no per-row Python). Values are exact int cents and
+    (ts, event_id) is a total order, so the oracle hash is tie-proof."""
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    ds = R.read_table(sf_dir, "events",
+                      columns=["user_id", "event_id", "ts", "value"])
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "event_id": pa.array([], pa.int64()),
+                      "running_cents": pa.array([], pa.int64())})
+
+    def running(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return empty
+        b = block.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        v = _cents(b["value"]).to_numpy()
+        starts = run_starts(b, ["user_id"])
+        sizes = np.diff(np.append(starts, n))
+        cs = np.cumsum(v)
+        seg_offset = np.concatenate(([0], cs[starts[1:] - 1])) \
+            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
+        run = cs - np.repeat(seg_offset, sizes)
+        return pa.table({
+            "user_id": b["user_id"].combine_chunks(),
+            "event_id": b["event_id"].combine_chunks(),
+            "running_cents": pa.array(run, pa.int64()),
+        })
+
+    return map_key_blocks(ds, ["user_id"], running, num_blocks=16)
+
+
+_SQL_Q52 = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(100 * value) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events
+"""
+
+
 def q49_approx_distinct(sf_dir: str):
     """HyperLogLog (p=12) approximate count-distinct of users per event
     type — the open-domain scale path for distinct counts (q05/q06 are the
@@ -1891,7 +1936,6 @@ QUERIES = {
     "q21_embedding_neardup": q21_embedding_neardup,
     "q22_embedding_neardup_lsh": q22_embedding_neardup_lsh,
     "q23_similarity_topk": q23_similarity_topk,
-    "q24_similarity_ivf": q24_similarity_ivf,
     "q25_token_count": q25_token_count,
     "q26_text_quality": q26_text_quality,
     "q27_fingerprint": q27_fingerprint,
@@ -1917,6 +1961,7 @@ QUERIES = {
     "q49_approx_distinct": q49_approx_distinct,
     "q50_approx_quantiles": q50_approx_quantiles,
     "q51_shuffled_export": q51_shuffled_export,
+    "q52_running_total": q52_running_total,
     "kg_conversations": kg_conversations,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
@@ -1924,6 +1969,7 @@ QUERIES = {
     # registry comment above): pytest-verified, still user-callable ---
     "q19_simhash_dedup": q19_simhash_dedup,
     "q20_ngram_jaccard_dedup": q20_ngram_jaccard_dedup,
+    "q24_similarity_ivf": q24_similarity_ivf,
     "q28_langid": q28_langid,
     "q29_multimodal_features": q29_multimodal_features,
 }
@@ -1971,4 +2017,5 @@ ORACLE_SQL = {
     "q47_sliding_window": _SQL_Q47,
     "q48_composite_join": _SQL_Q48,
     "q51_shuffled_export": _SQL_Q51,
+    "q52_running_total": _SQL_Q52,
 }
