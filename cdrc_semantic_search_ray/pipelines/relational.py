@@ -117,7 +117,8 @@ def _bucket_arrays(ks: list[pa.Array], num_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
-_ALLOWED_JOINS = ("inner", "left outer", "left semi", "left anti")
+_ALLOWED_JOINS = ("inner", "left outer", "left semi", "left anti",
+                  "right outer", "full outer")
 
 
 def hash_join(left, right, left_key, right_key,
@@ -134,9 +135,10 @@ def hash_join(left, right, left_key, right_key,
     ``num_buckets`` for bigger data or skew.
 
     ``join_type``: ``inner``, ``left outer``, ``left semi``, ``left anti``
-    (semi/anti return LEFT columns only). ``right outer`` / ``full outer``
-    raise ``NotImplementedError`` — output key columns come from the LEFT
-    side here, which would silently drop unmatched right-side keys.
+    (semi/anti return LEFT columns only), ``right outer`` (key columns
+    carry the RIGHT-side names), ``full outer`` (keys coalesce under the
+    LEFT-side names — every unmatched right key survives; conformance is
+    property-tested against driver-side Acero). Join keys must be non-null.
     """
     lk = [left_key] if isinstance(left_key, str) else list(left_key)
     rk = [right_key] if isinstance(right_key, str) else list(right_key)
@@ -144,8 +146,7 @@ def hash_join(left, right, left_key, right_key,
         raise ValueError("left_key/right_key must be same-length, non-empty")
     if join_type not in _ALLOWED_JOINS:
         raise NotImplementedError(
-            f"join_type {join_type!r}: only {_ALLOWED_JOINS} are supported "
-            "(right/full outer would drop unmatched right-side keys)")
+            f"join_type {join_type!r}: supported types are {_ALLOWED_JOINS}")
     lcols = list(left.schema().names)
     rcols = list(right.schema().names)
     lpay = [c for c in lcols if c not in lk]
@@ -186,7 +187,12 @@ def hash_join(left, right, left_key, right_key,
     tagged = left.map_batches(tag_side(0), batch_format="pyarrow").union(
         right.map_batches(tag_side(1), batch_format="pyarrow"))
 
-    out_cols = (lk + lpay if semi_or_anti else lk + lpay + rpay)
+    if semi_or_anti:
+        out_cols = lk + lpay
+    elif join_type == "right outer":
+        out_cols = rk + lpay + rpay  # Acero keeps RIGHT key names here
+    else:
+        out_cols = lk + lpay + rpay  # full outer: keys coalesce under lk
 
     def join_block(block: pa.Table) -> pa.Table:
         """One vectorized Acero join per BLOCK: equal keys share a bucket

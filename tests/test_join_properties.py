@@ -31,7 +31,8 @@ def join_case(draw):
     rk = [draw(st.lists(KEYS, min_size=n_r, max_size=n_r)),
           draw(st.lists(KEYS, min_size=n_r, max_size=n_r))]
     jt = draw(st.sampled_from(
-        ["inner", "left outer", "left semi", "left anti"]))
+        ["inner", "left outer", "left semi", "left anti",
+         "right outer", "full outer"]))
     composite = draw(st.booleans())
     return lk, rk, jt, composite
 

@@ -77,17 +77,42 @@ def test_hash_join_composite_keys(ray_session):
 
 
 def test_hash_join_rejects_unsupported_types(ray_session):
-    """right/full outer must raise loudly — output keys come from the left
-    side, so unmatched right keys would silently vanish."""
+    """Unhandled join types must raise loudly, not silently mis-shape."""
     import pytest
 
     li = R.read_table(SF_DIR, "lineitem", ["l_partkey", "l_quantity"])
     part = R.read_table(SF_DIR, "part", ["p_partkey", "p_brand"])
-    for jt in ("right outer", "full outer", "right semi"):
+    for jt in ("right semi", "right anti", "cross"):
         with pytest.raises(NotImplementedError):
             R.hash_join(li, part, "l_partkey", "p_partkey", join_type=jt)
     with pytest.raises(ValueError):
         R.hash_join(li, part, ["l_partkey"], ["p_partkey", "p_brand"])
+
+
+def test_hash_join_full_outer_keeps_right_only_keys(ray_session):
+    """full outer must surface every unmatched right-side key (the failure
+    the old rejection guarded against) — checked against DuckDB."""
+    import duckdb
+
+    part = R.read_table(SF_DIR, "part", ["p_partkey", "p_brand"])
+    li = R.read_table(SF_DIR, "lineitem", ["l_partkey", "l_quantity"])
+    # restrict the left side so right-only keys definitely exist
+    small = part.map_batches(
+        lambda b: b.filter(pc.less(b["p_partkey"], 50)),
+        batch_format="pyarrow")
+    got = R.hash_join(small, li, "p_partkey", "l_partkey",
+                      num_buckets=8, join_type="full outer").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT coalesce(p.p_partkey, l.l_partkey) AS p_partkey,
+               p.p_brand, l.l_quantity
+        FROM (SELECT * FROM '{SF_DIR}/part.parquet' WHERE p_partkey < 50) p
+        FULL OUTER JOIN '{SF_DIR}/lineitem.parquet' l
+          ON p.p_partkey = l.l_partkey
+    """).df()
+    assert len(got) == len(want)
+    assert got["p_brand"].isna().sum() == want["p_brand"].isna().sum() > 0
+    pd.testing.assert_frame_equal(_canon(got.fillna(-1)),
+                                  _canon(want.fillna(-1)), check_dtype=False)
 
 
 def test_q43_open_vocab_join_matches_broadcast(ray_session):
