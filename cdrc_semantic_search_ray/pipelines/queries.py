@@ -1765,6 +1765,26 @@ FROM k
 """
 
 
+def q53_approx_top_tokens(sf_dir: str, k: int = 20, capacity: int = 4096):
+    """Misra-Gries heavy hitters over the document token stream (the
+    vocab-building shape): per-batch exact counts pruned to a bounded
+    capacity + a carried error bound; one small shuffle. No SQL oracle by
+    design (approximate); tests/test_sketches.py checks the reported
+    counts/eps bracket the exact DuckDB counts and the top set is right."""
+    from . import sketches as SK
+
+    docs = R.read_table(sf_dir, "documents", columns=["text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])), r"\s+")
+        t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+        return pa.table({"token": t.flatten()})
+
+    return SK.approx_top_items(docs.map_batches(toks, batch_format="pyarrow"),
+                               "token", k=k, capacity=capacity)
+
+
 def q52_running_total(sf_dir: str):
     """Cumulative (running-total) window per user ordered by event time —
     completes the window family (tumbling q10, session q38, sliding q47,
@@ -1972,6 +1992,7 @@ QUERIES = {
     "q24_similarity_ivf": q24_similarity_ivf,
     "q28_langid": q28_langid,
     "q29_multimodal_features": q29_multimodal_features,
+    "q53_approx_top_tokens": q53_approx_top_tokens,
 }
 
 ORACLE_SQL = {

@@ -117,6 +117,93 @@ def approx_distinct(ds, key: str, col: str, merge_blocks: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+def approx_top_items(ds, col: str, k: int = 20, capacity: int = 4096,
+                     merge_blocks: int = 8):
+    """Approximate top-k frequent items of an open-domain column (the
+    vocab-building / heavy-hitter shape) with a CARRIED error bound.
+
+    Per batch: EXACT counts (arrow group_by), pruned to the ``capacity``
+    most frequent — state per batch is bounded regardless of domain size —
+    plus ``eps`` = the largest pruned count (0 if nothing pruned). Merge:
+    one small shuffle summing counts per item and eps globally. Every
+    reported count is then exact-to-within [cnt, cnt + Σeps] (an item
+    missing from a batch's summary had ≤ that batch's eps occurrences), the
+    Misra-Gries/mergeable-summaries guarantee with Σeps ≤ N/capacity for
+    adversarial input and far smaller for zipfian text.
+    Output: (item, cnt, eps_bound) — top-k by (cnt desc, item asc)."""
+    import pyarrow.compute as pc
+
+    from ..stages.keyblocks import map_key_blocks
+
+    # eps rides as a FLAGGED row (is_eps=1, item="") — the flag is part of
+    # the grouping, so no data value (including the legal empty-string
+    # token) can ever collide with the carrier. Null input items are
+    # excluded from counting (documented; Ray's sort sampler also cannot
+    # key on nulls).
+    def partial(batch: pa.Table) -> pa.Table:
+        items = batch[col].combine_chunks()
+        items = items.filter(pc.is_valid(items))
+        g = pa.table({"item": items}).group_by(
+            "item").aggregate([("item", "count")])
+        cnt = g["item_count"].cast(pa.int64())
+        t = pa.table({"item": g["item"], "cnt": cnt})
+        eps = 0
+        if len(t) > capacity:
+            t = t.sort_by([("cnt", "descending"), ("item", "ascending")])
+            eps = int(t["cnt"][capacity].as_py())
+            t = t.slice(0, capacity)
+        t = t.append_column(
+            "is_eps", pa.array(np.zeros(len(t), dtype=np.int8)))
+        if eps:
+            t = pa.concat_tables([t, pa.table(
+                {"item": pa.array([""], pa.string()),
+                 "cnt": pa.array([eps], pa.int64()),
+                 "is_eps": pa.array([1], pa.int8())})])
+        return t
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(block: pa.Table) -> pa.Table:
+        """Sum counts per item, then emit only the BLOCK-LOCAL top-k (+ the
+        eps carrier row): items are key-partitioned so per-item counts are
+        complete within a block, making block-local top-k safe — the
+        driver-side final assembly sees ≤ merge_blocks·k + 1 rows, never
+        the item domain."""
+        g = block.group_by(["item", "is_eps"]).aggregate([("cnt", "sum")])
+        t = pa.table({"item": g["item"], "is_eps": g["is_eps"],
+                      "cnt": g["cnt_sum"].cast(pa.int64())})
+        mask = pc.equal(t["is_eps"], 1)
+        eps_rows = t.filter(mask)
+        rest = t.filter(pc.invert(mask)).sort_by(
+            [("cnt", "descending"), ("item", "ascending")]).slice(0, k)
+        return pa.concat_tables([rest, eps_rows])
+
+    summed = map_key_blocks(partials, ["item"], merge,
+                            num_blocks=merge_blocks).materialize()
+
+    eps_total = 0
+    rows = []
+    for b in summed.iter_batches(batch_format="pyarrow"):
+        mask = pc.equal(b["is_eps"], 1)
+        e = b.filter(mask)
+        if len(e):
+            eps_total += int(pc.sum(e["cnt"]).as_py())
+        rows.append(b.filter(pc.invert(mask)).drop_columns(["is_eps"]))
+    all_items = pa.concat_tables(rows).sort_by(
+        [("cnt", "descending"), ("item", "ascending")]).slice(0, k)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "item": all_items["item"],
+        "cnt": all_items["cnt"],
+        "eps_bound": pa.array(
+            np.full(len(all_items), eps_total, dtype=np.int64)),
+    }))
+
+
+# ---------------------------------------------------------------------------
 # DDSketch quantiles
 # ---------------------------------------------------------------------------
 def _dd_gamma(alpha: float) -> float:

@@ -97,12 +97,15 @@ def reassemble(transcripts, num_buckets: int | None = None,
     Physical plan: ONE shuffle, keyed on ``bucket = hash(conv_id) % P``
     rather than on the raw string key — hash buckets are uniform, so the
     downstream nesting/extraction tasks are evenly sized (range-partitioning
-    the string key measured a 6× task-size skew), and P (default 4× cluster
-    CPUs) makes the partition count an explicit scale knob. Equal buckets
-    co-locate in one block (the map_groups guarantee); each block is then
-    locally sorted by (conv_id, turn_idx) and nested in one vectorized pass.
-    Results are bucket-count-invariant: grouping is by conv_id within the
-    block, buckets only control placement.
+    the string key measured a 6× task-size skew). P (≥16× cluster CPUs,
+    `_default_buckets`) is the KEY cardinality; the sort's PARTITION count
+    is `_sort_width` (~4 blocks/CPU — several buckets per partition keep
+    sampling skew ±1 bucket). Equal buckets co-locate in one block (the
+    map_groups guarantee); each block is then locally sorted by (conv_id,
+    turn_idx), nested in one vectorized pass, and yielded as ~4 slices for
+    downstream task granularity. Results are bucket- and width-invariant:
+    grouping is by conv_id within the block, placement knobs never change
+    content.
     """
     P = num_buckets or _default_buckets()
     bucketed = transcripts.map_batches(

@@ -66,6 +66,41 @@ def test_ddsketch_error_bound(ray_session):
     assert (rel <= 0.02).all(), merged[rel > 0.02]
 
 
+def test_misra_gries_top_tokens_bounds(ray_session):
+    """Heavy hitters: with capacity >> per-batch vocab the result is exact;
+    with a TIGHT capacity the reported counts must bracket the exact counts
+    within the carried eps bound and still surface every true heavy
+    hitter whose margin exceeds the bound."""
+    from cdrc_semantic_search_ray.pipelines.queries import q53_approx_top_tokens
+
+    exact = duckdb.sql(f"""
+        WITH t AS (
+          SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM '{SF_DIR}/documents.parquet')
+        SELECT tok, count(*) AS n
+        FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """).df()
+    exact_map = dict(zip(exact["tok"], exact["n"]))
+
+    wide = q53_approx_top_tokens(SF_DIR, k=20, capacity=100_000).to_pandas()
+    assert list(wide["item"]) == list(exact["tok"])
+    assert list(wide["cnt"]) == list(exact["n"])
+    assert (wide["eps_bound"] == 0).all()
+
+    # vocab at sf0.01 is 31 tokens — capacity 8 forces per-batch pruning
+    tight = q53_approx_top_tokens(SF_DIR, k=20, capacity=8).to_pandas()
+    eps = int(tight["eps_bound"].iloc[0])
+    assert eps > 0  # the prune path actually exercised
+    for item, cnt in zip(tight["item"], tight["cnt"]):
+        true = exact_map.get(item)
+        if true is not None:  # reported count brackets the truth
+            assert cnt <= true <= cnt + eps, (item, cnt, true, eps)
+    # every unambiguous heavy hitter (beats the 20th + eps) must appear
+    floor = int(exact["n"].iloc[-1]) + eps
+    must = set(exact[exact["n"] > floor]["tok"])
+    assert must <= set(tight["item"])
+
+
 def test_ddsketch_partition_invariance(ray_session):
     from cdrc_semantic_search_ray.pipelines import sketches as SK
     from cdrc_semantic_search_ray.pipelines.relational import read_table
