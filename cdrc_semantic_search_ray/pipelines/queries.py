@@ -1688,33 +1688,42 @@ GROUP BY event_type, window_start
 
 
 def q48_composite_join(sf_dir: str):
-    """COMPOSITE-key bucketed hash join (round-2 VERDICT missing #1): the
-    per-(part, supplier) first-shipment table joined back to lineitem on
-    BOTH key columns — one bucketed shuffle keyed on hash(partkey, suppkey),
-    vectorized per-block Acero join — then the standard combiner aggregate
-    over the first-shipment rows."""
+    """COMPOSITE-key "join back to the per-key aggregate" fused to ONE
+    shuffle (round-3 VERDICT next #6: the two-exchange version — groupby
+    for first_ship, then a hash join of lineitem back to it on the same
+    (pk, sk) key — moved the fact table all-to-all twice). Since both
+    sides are keyed identically, one hash-bucket co-location computes the
+    per-key min shipdate AND filters the co-located rows in the same
+    block: sort-by-key, segmented np.minimum.reduceat, np.repeat back to
+    rows. Result rows (the first-shipment events) then flow through the
+    standard tiny combiner aggregate."""
+    import numpy as np
+
+    from ..stages.keyblocks import map_hash_blocks, run_starts
+
     li = R.read_table(sf_dir, "lineitem",
                       columns=["l_partkey", "l_suppkey", "l_shipdate",
                                "l_returnflag", "l_extendedprice"])
-    first = R.partial_groupby(
-        li.map_batches(
-            lambda b: pa.table({"pk": b["l_partkey"].combine_chunks(),
-                                "sk": b["l_suppkey"].combine_chunks(),
-                                "l_shipdate": b["l_shipdate"].combine_chunks()}),
-            batch_format="pyarrow"),
-        ["pk", "sk"], [("l_shipdate", "min", "first_ship")],
-        merge_blocks=32)
-    j = R.hash_join(li, first, ["l_partkey", "l_suppkey"], ["pk", "sk"],
-                    num_buckets=32, join_type="inner")
 
-    def keep_first(b: pa.Table) -> pa.Table:
-        m = pc.equal(b["l_shipdate"], b["first_ship"])
-        b = b.filter(m)
+    def first_rows(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "price_c": pa.array([], pa.int64())})
+        b = block.sort_by([("l_partkey", "ascending"),
+                          ("l_suppkey", "ascending")])
+        starts = run_starts(b, ["l_partkey", "l_suppkey"])
+        ship = b["l_shipdate"].combine_chunks().cast(pa.int64()) \
+                              .to_numpy(zero_copy_only=False)
+        lens = np.diff(np.append(starts, len(b)))
+        key_min = np.repeat(np.minimum.reduceat(ship, starts), lens)
+        keep = pa.array(ship == key_min)
+        b = b.filter(keep)
         return pa.table({"l_returnflag": b["l_returnflag"].combine_chunks(),
                          "price_c": _cents(b["l_extendedprice"])})
 
-    agg = R.partial_groupby(j.map_batches(keep_first, batch_format="pyarrow"),
-                            ["l_returnflag"],
+    firsts = map_hash_blocks(li, ["l_partkey", "l_suppkey"], first_rows,
+                             num_blocks=32)
+    agg = R.partial_groupby(firsts, ["l_returnflag"],
                             [("price_c", "count", "n_first"),
                              ("price_c", "sum", "total_cents")],
                             merge_blocks=2)

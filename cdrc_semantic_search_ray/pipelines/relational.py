@@ -157,6 +157,14 @@ def hash_join(left, right, left_key, right_key,
     clash = set(rpay) & set(lk)
     if clash:
         raise ValueError(f"right payload collides with left keys: {clash}")
+    # mirror check (round-3 ADVICE): for join types whose Acero output keeps
+    # RIGHT key names, a left payload column named like a right key would
+    # surface as a duplicate column mid-pipeline — fail fast instead
+    if join_type in ("right outer", "full outer"):
+        clash = set(lpay) & set(rk)
+        if clash:
+            raise ValueError(
+                f"left payload collides with right keys: {clash}")
     ltypes = dict(zip(left.schema().names, left.schema().types))
     rtypes = dict(zip(right.schema().names, right.schema().types))
     key_types = [ltypes[k] for k in lk]

@@ -82,6 +82,12 @@ def approx_distinct(ds, key: str, col: str, merge_blocks: int = 8):
     from ..stages.keyblocks import map_key_blocks, run_starts
 
     def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # SQL count(DISTINCT) ignores NULLs — drop them BEFORE hashing
+        # (round-3 ADVICE: a null used to occupy a register as one phantom
+        # distinct value; approx_top_items already filters the same way)
+        batch = batch.filter(pc.is_valid(batch[col]))
         if len(batch) == 0:
             return pa.table({key: pa.array([], batch.schema.field(key).type),
                              "hll": pa.array([], pa.binary(HLL_M))})

@@ -5,7 +5,9 @@ store; THIS variant is the production layout for long 100 TB runs
 (BASELINE.md resumability target):
 
   stage "triples_raw"  read → reassemble → extract, tagged with
-                       part_id = crc32(conv_id) % P, written as
+                       part_id = rowhash(conv_id) % P (vectorized
+                       keyblocks.bucket_of_rows; scheme versioned in
+                       _scheme.json), written as
                        out/triples_raw/part_id=K/*.parquet (hive layout)
   stage "triples"      per-PARTITION resolve (link+canon broadcast maps):
                        pending partitions = manifest anti-join; each pending
@@ -23,9 +25,9 @@ returns.
 
 from __future__ import annotations
 
+import json
 import shutil
 import time
-import zlib
 from pathlib import Path
 
 import pyarrow as pa
@@ -34,14 +36,46 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..pipelines import kg as K
 from .manifest import Manifest
 
+# Partition-scheme version. v1 hashed conv_id with a PER-ROW Python
+# crc32 loop (round-3 VERDICT wrong #1); v2 uses the same vectorized
+# cross-process-stable row hash as every exchange (keyblocks.bucket_of_rows,
+# polars ahash). The hash choice is part of the ON-DISK layout — a resume
+# against a directory written under a different scheme (or num_parts) would
+# silently mis-route conversations — so it is versioned in _scheme.json and
+# checked before any stage runs.
+PART_SCHEME = "ahash-mod-v2"
+
 
 def _add_part_id(num_parts: int):
+    from ..stages.keyblocks import bucket_of_rows
+
     def f(batch: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(c.encode()) % num_parts
-                 for c in batch["conv_id"].to_pylist()]
-        return batch.append_column("part_id", pa.array(parts, pa.int32()))
+        return batch.append_column(
+            "part_id", bucket_of_rows(batch, ["conv_id"], num_parts))
 
     return f
+
+
+def _check_scheme(out: Path, man: Manifest, num_parts: int) -> None:
+    """Refuse to resume a layout written under a different partition scheme.
+
+    Outputs are derived and reproducible, so the remedy is always "delete
+    the run directory"; raising beats silently mixing two hash layouts."""
+    meta_p = out / "_scheme.json"
+    want = {"part_scheme": PART_SCHEME, "num_parts": num_parts}
+    if meta_p.exists():
+        have = json.loads(meta_p.read_text())
+        if have != want:
+            raise ValueError(
+                f"checkpoint dir {out} was written under partition scheme "
+                f"{have}; this build uses {want}. Delete the directory and "
+                "rerun (outputs are derived), or pass matching num_parts.")
+    elif man.path.exists():
+        raise ValueError(
+            f"checkpoint dir {out} has a manifest but no _scheme.json — a "
+            "pre-v2 (crc32) layout. Delete the directory and rerun.")
+    else:
+        meta_p.write_text(json.dumps(want))
 
 
 def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
@@ -57,6 +91,7 @@ def run_kg_checkpointed(corpus_dir: str | Path, out_dir: str | Path,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     man = Manifest(out)
+    _check_scheme(out, man, num_parts)
     lexicon = str(corpus / "lexicon.parquet")
     catalogue = str(corpus / "catalogue.parquet")
     recomputed: dict[str, list[int]] = {}

@@ -87,6 +87,35 @@ def test_edges_weights_consistent(kg_artifacts):
     assert total_weight == n_triples
 
 
+def test_aggregate_nodes_join_path_matches_broadcast(kg_artifacts,
+                                                     unit_corpus):
+    """aggregate_nodes' catalogue decoration is size-gated (round-4: the
+    last ungated driver read of the catalogue): broadcast path below
+    canon_broadcast_limit, bucketed left-outer hash_join + coalesce above.
+    Gate forced to 0 must give an identical node table."""
+    import dataclasses
+
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG
+    from cdrc_semantic_search_ray.pipelines import kg as K
+
+    cat = str(unit_corpus / "catalogue.parquet")
+    edges = kg_artifacts["edges"]
+
+    def node_set(ds):
+        rows = set()
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            rows.update(zip(b["node_id"].to_pylist(), b["name"].to_pylist(),
+                            b["kind"].to_pylist(), b["degree"].to_pylist(),
+                            b["weight"].to_pylist()))
+        return rows
+
+    broadcast = node_set(K.aggregate_nodes(edges, cat, DEFAULT_CONFIG))
+    shuffled = node_set(K.aggregate_nodes(
+        edges, cat, dataclasses.replace(DEFAULT_CONFIG,
+                                        canon_broadcast_limit=0)))
+    assert broadcast == shuffled and broadcast
+
+
 def test_partition_count_invariance(ray_session, tmp_path):
     """Same corpus written as 1 file vs 16 files → identical triple sets
     (FIXTURES.md partitioning probe)."""

@@ -60,6 +60,34 @@ def test_manifest_anti_join(tmp_path):
     assert m.stats()["s"]["rows"] == 15
 
 
+def test_scheme_guard_refuses_foreign_layout(ray_session, unit_corpus,
+                                             tmp_path):
+    """The partition hash is part of the on-disk layout: resuming a run dir
+    written under a different scheme/num_parts must fail fast, not silently
+    mix two hash layouts (round-4: _add_part_id vectorization changed the
+    hash, so the layout is now versioned in _scheme.json)."""
+    import json
+
+    import pytest
+
+    from cdrc_semantic_search_ray.state.checkpoint import (PART_SCHEME,
+                                                           run_kg_checkpointed)
+
+    out = tmp_path / "run_guard"
+    run_kg_checkpointed(unit_corpus, out, num_parts=2)
+    meta = json.loads((out / "_scheme.json").read_text())
+    assert meta == {"part_scheme": PART_SCHEME, "num_parts": 2}
+
+    # different num_parts → refuse
+    with pytest.raises(ValueError, match="partition scheme"):
+        run_kg_checkpointed(unit_corpus, out, num_parts=4)
+
+    # pre-v2 layout (manifest but no scheme marker) → refuse
+    (out / "_scheme.json").unlink()
+    with pytest.raises(ValueError, match="pre-v2"):
+        run_kg_checkpointed(unit_corpus, out, num_parts=2)
+
+
 def test_checkpoint_shuffled_resolve_gate(ray_session, unit_corpus, tmp_path,
                                           golden_result):
     """resolve_broadcast_limit=0 forces the bucketed-shuffle resolve inside
