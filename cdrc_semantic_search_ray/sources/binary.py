@@ -16,16 +16,17 @@ from pathlib import Path
 
 import pyarrow as pa
 
-from ..pipelines.multimodal import PAYLOAD_SCHEMA
+from ..pipelines.multimodal import PAYLOAD_SCHEMA, build_payloads
 
 _KINDS = ("image", "audio", "video")
 
 
 def write_payload_files(docs, out_dir: str | Path,
                         id_col: str = "doc_id", text_col: str = "text") -> str:
-    """documents → one payload file per row: ``<id:08d>.<kind>`` with the
-    utf-8 text bytes as the opaque payload (deterministic fixture; a real
-    deployment points read_payload_files at actual media directories)."""
+    """documents → one payload file per row: ``<id:08d>.<kind>`` holding a
+    CDR1 container (13-byte parsed header + utf-8 text bytes as the opaque
+    body — see pipelines/multimodal.py). Deterministic fixture; a real
+    deployment points read_payload_files at actual media directories."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -33,12 +34,13 @@ def write_payload_files(docs, out_dir: str | Path,
         import os
 
         ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        for i, t in zip(ids, texts):
+        payloads = build_payloads(
+            ids, [t.encode("utf-8") for t in batch[text_col].to_pylist()])
+        for i, p in zip(ids, payloads):
             path = out / f"{i:08d}.{_KINDS[i % 3]}"
             if not path.exists():  # idempotent resume
                 tmp = path.with_name(f".{path.name}.{os.getpid()}.tmp")
-                tmp.write_bytes(t.encode("utf-8"))
+                tmp.write_bytes(p)
                 os.replace(tmp, path)  # atomic: never a truncated payload
         return pa.table({"n": pa.array([len(ids)], pa.int64())})
 

@@ -162,11 +162,8 @@ def explode(conversations) -> "ray.data.Dataset":  # noqa: F821
         flat = turns.flatten()
         lengths = pc.list_value_length(turns).to_numpy().astype("int64")
         conv_ids = batch["conv_id"].combine_chunks().take(
-            pa.array(
-                [i for i, n in enumerate(lengths) for _ in range(n)],
-                type=pa.int64(),
-            )
-        )
+            pa.array(np.repeat(np.arange(len(lengths), dtype=np.int64),
+                               lengths)))
         data = {"conv_id": conv_ids}
         for i in range(flat.type.num_fields):
             f = flat.type.field(i)
