@@ -1,0 +1,96 @@
+"""Registry horizon + rotated-query oracle evidence.
+
+The external driver records correctness rows for the first DRIVER_HORIZON
+registry entries only (observed rounds 2-3; round-3 ADVICE asked for the
+cap to be explicit and test-pinned). This module (a) pins the intended
+horizon membership so an innocent reordering can't silently change which
+queries get driver rows, and (b) runs the driver's own compare (row count
++ columns + order-insensitive value hash vs DuckDB) for every
+oracle-backed query rotated PAST the horizon, so rotation loses no
+correctness evidence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# the six operators that had no driver row in rounds 1-3 (registered past
+# the old horizon) — round 4 rotated them inside
+MUST_BE_INSIDE = {
+    "q19_simhash_dedup", "q20_ngram_jaccard_dedup", "q24_similarity_ivf",
+    "q28_langid", "q29_multimodal_features", "q53_approx_top_tokens",
+    "kg_conversations",
+}
+# redundantly-evidenced entries rotated out (each verified below or by the
+# kg golden pytests)
+ROTATED_OUT = {
+    "q05_distinct", "q11_string_normalize", "q12_regex_hits",
+    "q13_monthly_orders", "kg_mentions", "kg_triples",
+}
+
+
+def test_horizon_membership():
+    from cdrc_semantic_search_ray.pipelines.queries import (DRIVER_HORIZON,
+                                                            QUERIES)
+
+    names = list(QUERIES)
+    inside = set(names[:DRIVER_HORIZON])
+    assert MUST_BE_INSIDE <= inside
+    assert ROTATED_OUT == set(names[DRIVER_HORIZON:])
+    assert all(callable(f) for f in QUERIES.values())
+
+
+def test_every_registered_query_has_evidence():
+    """Every horizon entry either has an oracle or is a documented
+    rows-only operator; every rotated-out oracle query is re-checked by
+    test_rotated_oracle_queries below."""
+    from cdrc_semantic_search_ray.pipelines.queries import (DRIVER_HORIZON,
+                                                            ORACLE_SQL,
+                                                            QUERIES)
+
+    rows_only_by_design = {
+        # approximate / stateful / non-SQL-expressible (documented in each
+        # docstring); bounded-error or golden pytests are their evidence
+        "q18_minhash_lsh_dedup", "q19_simhash_dedup",
+        "q20_ngram_jaccard_dedup", "q22_embedding_neardup_lsh",
+        "q24_similarity_ivf", "q28_langid", "q29_multimodal_features",
+        "q49_approx_distinct", "q50_approx_quantiles",
+        "q53_approx_top_tokens", "kg_conversations", "kg_mentions",
+        "kg_triples",
+    }
+    for name in list(QUERIES)[:DRIVER_HORIZON]:
+        assert name in ORACLE_SQL or name in rows_only_by_design, name
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    # the driver's compare: sort columns by name, hash sorted row reprs
+    df = df[sorted(df.columns)]
+    rows = sorted(tuple(repr(v) for v in row)
+                  for row in df.itertuples(index=False))
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", ["q05_distinct", "q11_string_normalize",
+                                  "q12_regex_hits", "q13_monthly_orders"])
+def test_rotated_oracle_queries(ray_session, name):
+    from cdrc_semantic_search_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF_DIR).to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "orders", "lineitem", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    want = con.sql(ORACLE_SQL[name]).df()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _value_hash(got) == _value_hash(want)
