@@ -70,28 +70,47 @@ def _warm_cluster() -> None:
         _w, batch_size=None).materialize()
 
 
-def bench_kg(corpus: str, out_dir: str) -> dict:
-    """Time the full KG pipeline; returns {sec, n_turns, turns_per_sec}."""
-    import pyarrow.parquet as pq
-    import ray
+BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
 
-    from cdrc_semantic_search_ray.pipelines import kg as K
+
+def bench_kg(corpus: str, out_dir: str) -> dict:
+    """Time the full KG pipeline, best of BENCH_REPS (contention protocol:
+    external load only ever ADDS time, so min is the noise-robust
+    estimator); returns {sec, n_turns, turns_per_sec, reps, loadavg}."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
     from cdrc_semantic_search_ray.config import DEFAULT_CONFIG as cfg
+    from cdrc_semantic_search_ray.pipelines import kg as K
 
     n_turns = pq.read_table(f"{corpus}/transcripts",
                             columns=["turn_idx"]).num_rows  # warm + count
-    t0 = time.time()
-    # production path: read → reassemble → extract → fused resolve+edge agg
-    # (extraction chains straight into the edge combiner — one shuffle) →
-    # nodes → partitioned writes
-    K.build_graph(corpus, cfg, out_dir=out_dir)
-    sec = time.time() - t0
-    return {"sec": round(sec, 3), "n_turns": n_turns,
-            "turns_per_sec": round(n_turns / sec, 1)}
+    reps, loads = [], []
+    for _ in range(BENCH_REPS):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        loads.append(round(os.getloadavg()[0], 2))
+        t0 = time.time()
+        # production path: read → reassemble → extract → fused resolve+edge
+        # agg (extraction chains straight into the edge combiner — one
+        # shuffle) → nodes → partitioned writes
+        K.build_graph(corpus, cfg, out_dir=out_dir)
+        reps.append(round(time.time() - t0, 3))
+    sec = min(reps)
+    return {"sec": sec, "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / sec, 1),
+            "reps": reps, "loadavg": loads}
 
 
-def bench_queries() -> dict[str, float]:
-    """Representative operator pipelines at $GRAFT_SF_DIR."""
+def bench_queries() -> tuple[dict[str, float], dict]:
+    """Representative operator pipelines at $GRAFT_SF_DIR.
+
+    Contention protocol (round-3 VERDICT next #1: a 1.47× driver-suite
+    swing had no instrumentation to attribute it): the WHOLE suite runs
+    BENCH_REPS times, interleaved at suite granularity so a transient host
+    spike can't hit the same query in every rep; per-query time is the min
+    across reps, and every raw (rep, query, seconds, loadavg-before) is
+    returned for the printed JSON."""
     from cdrc_semantic_search_ray.pipelines import queries as Q
 
     picks = ["q01_pricing_summary", "q06_count_by_group", "q09_topk_per_group",
@@ -104,16 +123,23 @@ def bench_queries() -> dict[str, float]:
              "q43_tfidf_top_terms", "q48_composite_join",
              "q49_approx_distinct", "q50_approx_quantiles",
              "q51_shuffled_export"]
-    out: dict[str, float] = {}
-    for name in picks:
-        t0 = time.time()
-        res = Q.QUERIES[name](SF_DIR)
-        # consume fully (streaming) without driver materialization
-        n = 0
-        for b in res.iter_batches(batch_format="pyarrow"):
-            n += len(b)
-        out[name] = round(time.time() - t0, 3)
-    return out
+    raw: list[dict] = []
+    best: dict[str, float] = {}
+    for rep in range(BENCH_REPS):
+        for name in picks:
+            load = round(os.getloadavg()[0], 2)
+            t0 = time.time()
+            res = Q.QUERIES[name](SF_DIR)
+            # consume fully (streaming) without driver materialization
+            n = 0
+            for b in res.iter_batches(batch_format="pyarrow"):
+                n += len(b)
+            sec = round(time.time() - t0, 3)
+            raw.append({"rep": rep, "query": name, "sec": sec,
+                        "loadavg_before": load})
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    return best, {"reps": BENCH_REPS, "raw": raw}
 
 
 def run_once() -> dict:
@@ -126,14 +152,12 @@ def run_once() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    load_start = round(os.getloadavg()[0], 2)
     corpus = _ensure_corpus()
     out_dir = f"/tmp/cdrc_bench_out/{NUM_CPUS}"
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
     _warm_cluster()
     kg = bench_kg(corpus, out_dir)
-    queries = {} if KG_ONLY else bench_queries()
+    queries, qproto = ({}, {}) if KG_ONLY else bench_queries()
     total = round(kg["sec"] + sum(queries.values()), 3)
     result = {
         "metric": "kg_pipeline+operator_suite wall seconds",
@@ -144,6 +168,13 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "kg_turns": kg["n_turns"],
         "kg_turns_per_sec": kg["turns_per_sec"],
+        "protocol": {
+            "best_of": BENCH_REPS,
+            "loadavg_start": load_start,
+            "loadavg_end": round(os.getloadavg()[0], 2),
+            "kg_reps": kg["reps"], "kg_loadavg": kg["loadavg"],
+            **qproto,
+        },
     }
     ray.shutdown()
     return result
@@ -187,6 +218,8 @@ def run_scaling() -> dict:
         load_before = os.getloadavg()[0]
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_KG_ONLY="1",
+                   GRAFT_BENCH_REPS="1",  # reps are the OUTER fresh-process
+                   #                        legs here, not in-process retries
                    GRAFT_BENCH_CONVS=str(SCALING_CONVS))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
