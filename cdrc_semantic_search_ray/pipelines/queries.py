@@ -1280,17 +1280,24 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
-def q41_embedding_centroids(sf_dir: str):
+def q41_embedding_centroids(sf_dir: str, broadcast_limit: int = 2_000_000):
     """Grouped VECTOR aggregation (per-language embedding centroids — the
-    clustering/class-prototype primitive): embeddings ⨝ documents (bucketed
-    hash join), per-batch per-group component sums over per-row fixed-point
-    components (exact integer sums ⇒ partition-order-proof, same discipline
-    as the scalar aggregates), one tiny (lang, pos) count shuffle."""
+    clustering/class-prototype primitive). The doc→lang side is a
+    dimension lookup, so it is SIZE-GATED (round-3 VERDICT stretch #9):
+    at or below ``broadcast_limit`` documents it ships once via ray.put
+    and lang is attached with one index_in per embedding batch — the
+    embeddings NEVER shuffle; above the gate, the bucketed hash join.
+    Either way: per-batch per-group component sums over per-row
+    fixed-point components (exact integer sums ⇒ partition-order-proof,
+    same discipline as the scalar aggregates), one tiny (lang, pos)
+    count shuffle."""
+    import pyarrow.parquet as pq
+
     from ..functions.arrays import (fixed_binary_to_matrix, list_matrix,
                                     matrix_to_fixed_binary)
 
-    docs = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
     embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs_path = f"{sf_dir}/documents.parquet"
 
     def _enc(b: pa.Table) -> pa.Table:
         x = 1e6 * list_matrix(b, "embedding", np.float64)
@@ -1299,8 +1306,30 @@ def q41_embedding_centroids(sf_dir: str):
         return pa.table({"vec_id": b["vec_id"].combine_chunks(),
                          "emb_e6": matrix_to_fixed_binary(v_e6)})
 
-    joined = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
-                         "doc_id", "vec_id", num_buckets=32)
+    if pq.read_metadata(docs_path).num_rows <= broadcast_limit:
+        import ray
+
+        dt = pq.read_table(docs_path, columns=["doc_id", "lang"])
+        ref = ray.put((dt["doc_id"].combine_chunks(),
+                       dt["lang"].combine_chunks()))
+
+        def enc_lookup(b: pa.Table) -> pa.Table:
+            import ray
+
+            ids_cat, langs_cat = ray.get(ref)
+            idx = pc.index_in(b["vec_id"].combine_chunks(),
+                              value_set=ids_cat)
+            hit = pc.is_valid(idx)
+            enc = _enc(b.filter(hit))  # inner-join semantics: drop misses
+            return pa.table({"lang": langs_cat.take(idx.filter(hit)),
+                             "emb_e6": enc["emb_e6"]})
+
+        joined = embs.map_batches(enc_lookup, batch_format="pyarrow")
+    else:
+        docs = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
+        joined = R.hash_join(
+            docs, embs.map_batches(_enc, batch_format="pyarrow"),
+            "doc_id", "vec_id", num_buckets=32)
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd

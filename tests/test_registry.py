@@ -80,6 +80,21 @@ def _value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()
 
 
+def test_q41_broadcast_matches_join_path(ray_session):
+    """q41's doc→lang side is size-gated (broadcast below the limit, hash
+    join above): both paths must agree exactly."""
+    from cdrc_semantic_search_ray.pipelines.queries import \
+        q41_embedding_centroids
+
+    key = ["lang", "pos"]
+    a = q41_embedding_centroids(SF_DIR).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = q41_embedding_centroids(SF_DIR, broadcast_limit=0).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+    assert len(a) > 0
+
+
 @pytest.mark.parametrize("name", ["q05_distinct", "q11_string_normalize",
                                   "q12_regex_hits", "q13_monthly_orders"])
 def test_rotated_oracle_queries(ray_session, name):
