@@ -144,12 +144,15 @@ class MinHashSketcher:
         self.k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.arrays import matrix_to_fixed_binary
+
         texts = batch["text"].to_pylist()
         n = len(texts)
+        sig_width = len(self.a) * 8  # num_perm uint64s per signature
         if n == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "block_key": pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.binary())})
+                             "sig": pa.array([], pa.binary(sig_width))})
         codes = [H.char_shingle_codes(t, self.k) for t in texts]
         sigs = H.minhash_signatures_batch(codes, self.a, self.b)
         band_vals = H.band_key_values(sigs, self.bands)  # (n, bands)
@@ -158,7 +161,8 @@ class MinHashSketcher:
         keys = _band_key_ints(
             np.tile(np.arange(bands, dtype=np.int64), n),
             band_vals.reshape(-1))
-        sig_arr = pa.array([s.tobytes() for s in sigs], type=pa.binary())
+        # one packed buffer (fixed_size_binary) — no per-doc tobytes loop
+        sig_arr = matrix_to_fixed_binary(sigs)
         return pa.table({
             "doc_id": batch["doc_id"].combine_chunks().take(doc_idx),
             "block_key": keys,
@@ -204,9 +208,10 @@ def minhash_lsh_dedup(docs, num_perm: int = 64, bands: int = 16,
             return _pair_table(out, [("est_jaccard", pa.float64())])
         b = block.sort_by([("block_key", "ascending"),
                            ("doc_id", "ascending")])
+        from ..functions.arrays import fixed_binary_to_matrix
+
         ids_all = b["doc_id"].to_numpy()
-        sig_mat = np.frombuffer(b"".join(b["sig"].to_pylist()),
-                                dtype=np.uint64).reshape(len(b), -1)
+        sig_mat = fixed_binary_to_matrix(b["sig"], np.uint64)
         bounds = np.append(run_starts(b, ["block_key"]), len(b))
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             n = min(int(hi - lo), max_block)
