@@ -39,6 +39,7 @@ from . import dedup as D
 from . import multimodal as MM
 from . import relational as R
 from . import similarity as S
+from .service import q54_serving_session
 from . import text as T
 
 # ---------------------------------------------------------------------------
@@ -2040,6 +2041,7 @@ QUERIES = {
     "q13_monthly_orders": q13_monthly_orders,
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
+    "q54_serving_session": q54_serving_session,
 }
 
 ORACLE_SQL = {

@@ -1,0 +1,245 @@
+"""Per-request retrieval serving — the stateful serving-path analogue.
+
+The reference serves retrieval behind a FastAPI app holding long-lived
+model instances: POST /query registers a query id, GET /results embeds the
+query, runs hybrid top-k against the chunk index, groups chunk hits per
+parent document, and GET /explain re-scores one result
+(/root/reference/search_service/api.py:24-64, src/model.py:57-104). The
+LLM pieces of that path (answer synthesis, LLM explain) are SaaS —
+out of scope per SURVEY.md §2.3 C4/C5.
+
+Ray-native shape: :class:`RetrievalSession` is the model-instance
+analogue — ``__init__`` builds the chunk index ONCE (chunk → embed →
+inverted token index, all vectorized), ``run()`` answers one query with
+no per-request index work, ``explain()`` returns a DETERMINISTIC score
+breakdown (per-term sparse contributions + dense cosine) instead of an
+LLM paraphrase. :func:`serve` wraps the session in a detached named Ray
+actor — the cluster-resident equivalent of the FastAPI process — so many
+drivers/processes share one warm index and requests serialize through
+the actor mailbox.
+
+Scale seam: one actor's heap serves one index shard. The build is
+size-gated (``max_chunks``) and corpora above the gate belong to the
+batch pipelines (q23/q35) or an IVF-bucketed actor POOL keyed by
+:func:`..pipelines.similarity.topk_ivf`'s SRP buckets (each actor holds
+``probes``/2^bits of the corpus) — the documented growth path.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# reference defaults: chunk 256 tokens / 32 overlap, top_k 30, alpha 0.75
+# (/root/reference/config/config.toml:8-15)
+CHUNK_TOKENS = 256
+CHUNK_OVERLAP = 32
+DEFAULT_TOP_K = 30
+DEFAULT_ALPHA = 0.75
+
+
+def _chunk_spans(n_tokens: np.ndarray,
+                 size: int = CHUNK_TOKENS,
+                 overlap: int = CHUNK_OVERLAP) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc chunk counts + flat (doc_idx, start) spans, vectorized."""
+    step = size - overlap
+    n_chunks = np.maximum(1, np.ceil(
+        np.maximum(n_tokens - overlap, 1) / step).astype(np.int64))
+    doc_idx = np.repeat(np.arange(len(n_tokens), dtype=np.int64), n_chunks)
+    within = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks)
+    return doc_idx, within * step
+
+
+class RetrievalSession:
+    """One warm retrieval index + per-query session state.
+
+    Direct-callable (tests, notebooks) or actor-wrapped (:func:`serve`).
+    ``run`` mirrors model.run → processed_response: hybrid
+    α·cosine + (1−α)·token-Jaccard over CHUNKS, grouped per parent doc
+    (the DocumentGroupingPostprocessor analogue: a doc's score is its
+    best chunk's), metadata + score per result, top_k docs.
+    """
+
+    def __init__(self, docs: pa.Table, top_k: int = DEFAULT_TOP_K,
+                 alpha: float = DEFAULT_ALPHA, embed_dim: int = 64,
+                 max_chunks: int = 2_000_000):
+        from ..functions.embed import embed_texts
+
+        self.top_k = top_k
+        self.alpha = alpha
+        self._sessions: dict[str, dict] = {}  # query_mapping analogue
+
+        texts = docs["text"].combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(texts)), r"\s+")
+        tok_lists = toks.to_pylist()
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+
+        doc_idx, starts = _chunk_spans(n_tokens.astype(np.int64))
+        if len(doc_idx) > max_chunks:
+            raise ValueError(
+                f"{len(doc_idx)} chunks exceeds the single-actor serving "
+                f"gate ({max_chunks}); shard the corpus over an IVF actor "
+                "pool or use the batch retrieval pipelines (q23/q35)")
+        self.doc_ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        self.meta = {
+            "lang": docs["lang"].to_pylist(),
+            "source": docs["source"].to_pylist(),
+        } if "lang" in docs.column_names else {}
+        self.chunk_doc = doc_idx
+
+        chunk_texts, chunk_tok_sets = [], []
+        for d, s in zip(doc_idx, starts):  # chunk materialization (build-
+            #  time only; per-chunk string join has no vectorized kernel)
+            window = tok_lists[d][s:s + CHUNK_TOKENS]
+            chunk_texts.append(" ".join(window))
+            chunk_tok_sets.append(sorted(set(window)))
+        self.chunk_mat = embed_texts(chunk_texts, dim=embed_dim) \
+            .astype(np.float64)
+        self.embed_dim = embed_dim
+
+        # inverted token index: token → chunk posting list (the sparse
+        # half of hybrid scoring as one bincount per query)
+        self.chunk_tok_counts = np.array([len(s) for s in chunk_tok_sets],
+                                         dtype=np.int64)
+        self.vocab: dict[str, int] = {}
+        flat_codes, flat_chunks = [], []
+        for ci, s in enumerate(chunk_tok_sets):
+            for t in s:
+                flat_codes.append(self.vocab.setdefault(t, len(self.vocab)))
+                flat_chunks.append(ci)
+        order = np.argsort(np.array(flat_codes, dtype=np.int64),
+                           kind="stable")
+        self._post_chunks = np.array(flat_chunks, dtype=np.int64)[order]
+        bounds = np.searchsorted(
+            np.array(flat_codes, dtype=np.int64)[order],
+            np.arange(len(self.vocab) + 1))
+        self._post_bounds = bounds
+
+    # -- the /query + /results pair, collapsed (no network hop here) ------
+    def run(self, query: str, top_k: int | None = None,
+            alpha: float | None = None) -> dict:
+        from ..functions.embed import embed_texts
+
+        top_k = top_k or self.top_k
+        alpha = self.alpha if alpha is None else alpha
+        q_tokens = sorted(set(query.lower().split()))
+        qv = embed_texts([query], dim=self.embed_dim)[0].astype(np.float64)
+        dense = self.chunk_mat @ qv  # rows normalized ⇒ cosine
+
+        codes = [self.vocab[t] for t in q_tokens if t in self.vocab]
+        inter = np.zeros(len(self.chunk_mat), dtype=np.int64)
+        for c in codes:  # |query tokens| iterations, each a slice add
+            inter[self._post_chunks[
+                self._post_bounds[c]:self._post_bounds[c + 1]]] += 1
+        union = len(q_tokens) + self.chunk_tok_counts - inter
+        sparse = np.divide(inter, union, out=np.zeros(len(union)),
+                           where=union > 0)
+        score = alpha * dense + (1 - alpha) * sparse
+
+        # group per parent doc: best chunk wins (DocumentGroupingPost-
+        # processor analogue), deterministic ties (score desc, doc asc)
+        n_docs = len(self.doc_ids)
+        best = np.full(n_docs, -np.inf)
+        np.maximum.at(best, self.chunk_doc, score)
+        hits = np.flatnonzero(best > -np.inf)
+        top = hits[np.lexsort((self.doc_ids[hits], -best[hits]))][:top_k]
+        results = [
+            {"doc_id": int(self.doc_ids[d]), "score": float(best[d]),
+             **{k: v[d] for k, v in self.meta.items()}}
+            for d in top
+        ]
+        results_id = str(uuid.uuid4())
+        self._sessions[results_id] = {
+            "query": query, "alpha": alpha, "q_tokens": q_tokens,
+            "results": results,
+            "chunk_score": {int(d): float(best[d]) for d in top},
+        }
+        return {"results_id": results_id, "query": query,
+                "results_content": results}
+
+    # -- the /explain analogue: deterministic score breakdown -------------
+    def explain(self, results_id: str, response_num: int) -> dict:
+        if results_id not in self._sessions:
+            return {"error": "No query found for the provided results_id"}
+        s = self._sessions[results_id]
+        if response_num >= len(s["results"]):
+            raise ValueError("No response to explain")
+        res = s["results"][response_num]
+        doc_pos = int(np.flatnonzero(self.doc_ids == res["doc_id"])[0])
+        chunks = np.flatnonzero(self.chunk_doc == doc_pos)
+        # matched terms = query ∩ best-chunk tokens, via the posting lists
+        matched = []
+        for t in s["q_tokens"]:
+            c = self.vocab.get(t)
+            if c is None:
+                continue
+            posting = self._post_chunks[
+                self._post_bounds[c]:self._post_bounds[c + 1]]
+            if np.intersect1d(posting, chunks).size:
+                matched.append(t)
+        return {
+            "explained_response": {
+                "doc_id": res["doc_id"], "score": res["score"],
+                "alpha": s["alpha"], "matched_terms": matched,
+                "n_chunks": int(chunks.size),
+            },
+            "metadata": {"results_id": results_id, "query": s["query"],
+                         "related_dataset": res},
+        }
+
+
+def load_session(sf_dir: str, **kwargs) -> RetrievalSession:
+    """Build a session over the documents table (column-pruned read)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    return RetrievalSession(docs, **kwargs)
+
+
+def serve(sf_dir: str, name: str = "cdrc_retrieval", **kwargs):
+    """Deploy the session as a detached named Ray actor (the FastAPI-
+    process analogue): one warm index, shared by any driver on the
+    cluster via ``ray.get_actor(name)``; requests serialize through the
+    actor mailbox, the Ray-native request queue."""
+    import ray
+
+    actor_cls = ray.remote(num_cpus=1)(RetrievalSession)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    return actor_cls.options(name=name, get_if_exists=True,
+                             lifetime="detached").remote(docs, **kwargs)
+
+
+def q54_serving_session(sf_dir: str, queries: tuple[str, ...] = (
+        "service data report", "health population survey",
+        "transport census area")) -> pa.Table:
+    """Registry entry: run a fixed query batch through one warm session
+    and return a flat result table (deterministic; rows-only evidence —
+    per-request serving has no SQL analogue). The reference's evaluation
+    replays ~136 logged/templated queries the same way
+    (/root/reference/src/evaluation.py:42-64)."""
+    sess = load_session(sf_dir)
+    rows = {"query": [], "rank": [], "doc_id": [], "score_e6": []}
+    for q in queries:
+        out = sess.run(q, top_k=10)
+        for rank, r in enumerate(out["results_content"]):
+            rows["query"].append(q)
+            rows["rank"].append(rank + 1)
+            rows["doc_id"].append(r["doc_id"])
+            rows["score_e6"].append(
+                int(np.copysign(np.floor(abs(r["score"]) * 1e6 + 0.5),
+                                r["score"])))
+    return pa.table({
+        "query": pa.array(rows["query"], pa.string()),
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "score_e6": pa.array(rows["score_e6"], pa.int64()),
+    })

@@ -32,6 +32,7 @@ MUST_BE_INSIDE = {
 ROTATED_OUT = {
     "q05_distinct", "q11_string_normalize", "q12_regex_hits",
     "q13_monthly_orders", "kg_mentions", "kg_triples",
+    "q54_serving_session",  # stateful per-request serving — pytest-only
 }
 
 
