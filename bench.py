@@ -122,7 +122,9 @@ def bench_queries() -> tuple[dict[str, float], dict]:
              "q40_asof_join", "q41_embedding_centroids",
              "q43_tfidf_top_terms", "q48_composite_join",
              "q49_approx_distinct", "q50_approx_quantiles",
-             "q51_shuffled_export"]
+             "q51_shuffled_export", "q55_response_split",
+             "q56_generate_answers", "q57_eval_sweep",
+             "q59_redact_terms", "q60_sequence_packing"]
     raw: list[dict] = []
     best: dict[str, float] = {}
     for rep in range(BENCH_REPS):

@@ -205,3 +205,168 @@ def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
     partials = bucketed.map_batches(partial, batch_format="pyarrow")
 
     return _merge_topk(partials, k)
+
+
+def hybrid_topk(sf_dir: str, nq: int = 5, k: int = 3,
+                alphas: tuple[int, ...] = (0, 75, 100)):
+    """Hybrid dense+sparse retrieval (SURVEY.md R2 hybrid — the reference's
+    vector_store_query_mode='hybrid', alpha=0.75:
+    /root/reference/config/config.toml:13-15, src/model.py:73-79):
+
+        score = α·cosine(embedding) + (1−α)·token-Jaccard(text)
+
+    documents ⨝ embeddings (bucketed hash join), then each batch scores
+    against the broadcast query set for each α in ``alphas`` (percent);
+    per-(query, α) partial top-``k`` per batch, one groupby merge.
+    Self-matches excluded. Queries = the first ``nq`` documents (their text
+    for the sparse half, their embedding row for the dense half).
+
+    Shared core for q35 (the oracle-checked registry entry) and the C5
+    evaluation sweep (pipelines/genai.py) — parameterized, bit-identical
+    arithmetic (the oracle's operation order is load-bearing: see the
+    inline comments).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.arrays import (fixed_binary_to_matrix, list_matrix,
+                                    matrix_to_fixed_binary)
+    from ..stages.keyblocks import map_key_blocks, run_starts
+    from . import relational as R
+
+    docs = R.read_table(sf_dir, "documents", ["doc_id", "text"])
+    embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _enc(b: pa.Table) -> pa.Table:
+        # Acero joins reject list payloads — carry the vector as
+        # fixed-size binary through the shuffle (zero-copy-ish both ways)
+        return pa.table({"vec_id": b["vec_id"].combine_chunks(),
+                         "emb_bin": matrix_to_fixed_binary(
+                             list_matrix(b, "embedding", np.float64))})
+
+    corpus = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
+                         "doc_id", "vec_id", num_buckets=32)
+
+    def _tok_lists(text_col) -> list[list[str]]:
+        """RE2 '\\s+' tokenization — the SAME regex engine/class the oracle's
+        string_split_regex uses (python str.split() splits on extra unicode
+        whitespace RE2 does not)."""
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text_col)), r"\s+")
+        return (t.combine_chunks()
+                if isinstance(t, pa.ChunkedArray) else t).to_pylist()
+
+    # broadcast query set (tiny: nq rows)
+    qdocs = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", nq)])
+    qembs = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", nq)])
+    order = {d: i for i, d in enumerate(qdocs["doc_id"].to_pylist())}
+    q_ids = np.array(sorted(order), dtype=np.int64)
+    qdoc_toks = _tok_lists(qdocs["text"])
+    q_toks = [sorted(set(qdoc_toks[order[d]])) for d in q_ids]
+    emap = {v: i for i, v in enumerate(qembs["vec_id"].to_pylist())}
+    qm = np.stack([np.asarray(qembs["embedding"][emap[d]].as_py(),
+                              dtype=np.float64) for d in q_ids])
+    ref = ray.put((q_ids, q_toks, qm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qids, qtoks, qmat = ray.get(ref)
+        nq_ = len(qids)
+        ids = np.asarray(batch["doc_id"].to_numpy())
+        n = len(ids)
+        emb = fixed_binary_to_matrix(batch["emb_bin"], np.float64)
+        # mirror the oracle's list_cosine_similarity OPERATION ORDER
+        # (dot / (|a|·|b|), ONE division) rather than normalize-then-dot —
+        # a last-ulp difference there can flip round(1e6·score) (ADVICE r2)
+        norms = np.maximum(
+            np.outer(np.linalg.norm(qmat, axis=1),
+                     np.linalg.norm(emb, axis=1)), 1e-12)
+        cos = (qmat @ emb.T) / norms  # (Q, n)
+
+        # pairwise query×doc token Jaccard as ONE incidence matmul (same
+        # shape as dedup._block_jaccard) instead of Q×n Python set ops
+        d_sets = [sorted(set(t)) for t in _tok_lists(batch["text"])]
+        d_lens = np.array([len(s) for s in d_sets], dtype=np.int64)
+        q_lens = np.array([len(s) for s in qtoks], dtype=np.int64)
+        flat = np.array([w for s in d_sets for w in s]
+                        + [w for s in qtoks for w in s], dtype=object)
+        codes, uniq = pd.factorize(flat)
+        v = len(uniq)
+        m_docs = np.zeros((n, v), dtype=np.float32)
+        m_docs[np.repeat(np.arange(n), d_lens),
+               codes[:int(d_lens.sum())]] = 1.0
+        m_q = np.zeros((nq_, v), dtype=np.float32)
+        m_q[np.repeat(np.arange(nq_), q_lens),
+            codes[int(d_lens.sum()):]] = 1.0
+        # counts are exact small ints in float32; the DIVISION must run in
+        # float64 (a float32 quotient rounds differently than the oracle's
+        # double division — bit us at sf0.1)
+        inter = (m_q @ m_docs.T).astype(np.float64)  # (Q, n)
+        union = (q_lens[:, None] + d_lens[None, :]) - inter
+        jac = np.divide(inter, union, out=np.zeros_like(inter),
+                        where=union > 0)
+
+        rows = {"query_id": [], "alpha_pct": [], "neighbor_id": [],
+                "score": []}
+        for a_pct in alphas:
+            a = a_pct / 100.0
+            s = a * cos + (1 - a) * jac  # mirrors the oracle expression
+            for qi in range(nq_):
+                keep = ids != qids[qi]
+                sub_ids, sub_s = ids[keep], s[qi][keep]
+                kk = min(k, len(sub_ids))
+                if kk == 0:
+                    continue
+                # deterministic truncation: ties at the k boundary keep the
+                # SMALLEST neighbor ids (the oracle's ORDER BY score DESC,
+                # neighbor_id) — argpartition alone would keep an arbitrary,
+                # partition-order-dependent subset of a tie group
+                top = np.lexsort((sub_ids, -sub_s))[:kk]
+                rows["query_id"].extend([int(qids[qi])] * kk)
+                rows["alpha_pct"].extend([a_pct] * kk)
+                rows["neighbor_id"].extend(sub_ids[top].tolist())
+                rows["score"].extend(sub_s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "alpha_pct": pa.array(rows["alpha_pct"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        })
+
+    partials = corpus.map_batches(partial, batch_format="pyarrow")
+
+    def merge(block: pa.Table) -> pa.Table:
+        n = len(block)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "alpha_pct": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "score_e6": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        b = block.sort_by([("query_id", "ascending"),
+                           ("alpha_pct", "ascending"),
+                           ("score", "descending"),
+                           ("neighbor_id", "ascending")])
+        starts = run_starts(b, ["query_id", "alpha_pct"])
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n) - np.repeat(starts, sizes) + 1
+        keep = rank <= k
+        b = b.filter(pa.array(keep))
+        s = b["score"].combine_chunks().to_numpy()
+        return pa.table({
+            "query_id": b["query_id"].combine_chunks(),
+            "alpha_pct": b["alpha_pct"].combine_chunks(),
+            "neighbor_id": b["neighbor_id"].combine_chunks(),
+            "score_e6": pa.array(
+                np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s)
+                .astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        })
+
+    return map_key_blocks(partials, ["query_id", "alpha_pct"], merge)

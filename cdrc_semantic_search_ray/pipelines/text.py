@@ -124,3 +124,96 @@ def regex_hits(docs, pattern: str, out: str = "n_hits"):
         })
 
     return docs.map_batches(_hits, batch_format="pyarrow")
+
+
+# default DLP term list for redact_terms — the dictionary-scrub analogue of
+# a name/PII blacklist (real pipelines ship millions of terms via an
+# Aho-Corasick actor; a regex alternation covers the vectorized-engine
+# shape at list sizes RE2 compiles happily, ~10k terms)
+REDACT_TERMS: tuple[str, ...] = ("customer", "line", "scan")
+REDACT_TOKEN = "[REDACTED]"
+
+
+def redact_terms(docs, terms: tuple[str, ...] = REDACT_TERMS,
+                 token: str = REDACT_TOKEN):
+    """PII-style dictionary redaction: replace whole-word occurrences of
+    ``terms`` with ``token``; count per doc. Fully vectorized (ONE compiled
+    RE2 alternation per batch via pyarrow's count/replace kernels — same
+    engine class as the DuckDB oracle's regexp_replace). Output:
+    (doc_id, clean_text, n_redacted)."""
+    import re
+
+    pattern = r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b"
+
+    def _redact(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern)
+        cleaned = pc.replace_substring_regex(batch["text"], pattern, token)
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "clean_text": cleaned.combine_chunks()
+            if isinstance(cleaned, pa.ChunkedArray) else cleaned,
+            "n_redacted": (n.combine_chunks()
+                           if isinstance(n, pa.ChunkedArray) else n)
+            .cast(pa.int64()),
+        })
+
+    return docs.map_batches(_redact, batch_format="pyarrow")
+
+
+def sequence_packing(docs, budget: int = 256, shard_col: str = "source"):
+    """Training-sequence packing: assign each document a (pack_id,
+    seq_offset) inside its shard so consecutive docs fill fixed
+    ``budget``-token context windows — the standard streaming-packing
+    semantics pack_id = floor(exclusive_prefix_tokens / budget) (a doc
+    straddling a boundary spills into the next window; exact greedy
+    bin-packing is NOT order-stable under distribution, this is).
+
+    Partitioning assumption (documented per SURVEY §2 custom-operator
+    rule): packing is per-``shard_col`` — shards are independent, so the
+    whole op is ONE key shuffle + a per-block segmented cumulative sum
+    (q52's kernel shape); no global scan, embarrassingly parallel across
+    shards at 100 TB. Token counts use the same RE2 ``\\S+`` kernel as
+    token_counts (oracle parity)."""
+    import numpy as np
+
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            shard_col: batch[shard_col].combine_chunks(),
+            "n_tokens": (n.combine_chunks()
+                         if isinstance(n, pa.ChunkedArray) else n)
+            .cast(pa.int64()),
+        })
+
+    counted = docs.map_batches(_count, batch_format="pyarrow")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      shard_col: pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "pack_id": pa.array([], pa.int64()),
+                      "seq_offset": pa.array([], pa.int64())})
+
+    def pack(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return empty
+        b = block.sort_by([(shard_col, "ascending"),
+                           ("doc_id", "ascending")])
+        v = b["n_tokens"].combine_chunks().to_numpy()
+        starts = run_starts(b, [shard_col])
+        sizes = np.diff(np.append(starts, n))
+        cs = np.cumsum(v)
+        seg_offset = np.concatenate(([0], cs[starts[1:] - 1])) \
+            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
+        excl = cs - np.repeat(seg_offset, sizes) - v  # exclusive prefix
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks(),
+            shard_col: b[shard_col].combine_chunks(),
+            "n_tokens": pa.array(v, pa.int64()),
+            "pack_id": pa.array(excl // budget, pa.int64()),
+            "seq_offset": pa.array(excl % budget, pa.int64()),
+        })
+
+    return map_key_blocks(counted, [shard_col], pack, num_blocks=16)

@@ -1,0 +1,105 @@
+"""Round-4 operators: S2 fetch analogue (sources/fetch.py), dictionary
+redaction and sequence packing (pipelines/text.py).
+
+Each registry entry is oracle-checked with the driver's own compare; the
+fetch stage additionally pins the retry/auth semantics the hash can't
+explain on failure.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(tuple(repr(v) for v in row)
+                  for row in df.itertuples(index=False))
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')")
+    return con.sql(sql).df()
+
+
+@pytest.mark.parametrize("name", ["q58_fetch_resources", "q59_redact_terms",
+                                  "q60_sequence_packing"])
+def test_round4_oracle(ray_session, name):
+    from cdrc_semantic_search_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF_DIR).to_pandas()
+    want = _oracle(ORACLE_SQL[name])
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _value_hash(got) == _value_hash(want)
+
+
+def test_fetch_retry_and_store(ray_session, tmp_path):
+    """The injected transient failure must be retried (n_attempts == 2 for
+    every 13th resource, 1 otherwise), the store build must be idempotent,
+    and a wholly-missing resource must exhaust retries with a hard error."""
+    from cdrc_semantic_search_ray.sources import fetch as F
+
+    store = F.materialize_store(SF_DIR, mod=20)
+    marker = Path(store) / ".complete"
+    stamp = marker.read_text()
+    assert F.materialize_store(SF_DIR, mod=20) == store  # idempotent
+    assert marker.read_text() == stamp
+
+    df = F.fetch_resources(F.catalogue(SF_DIR, store, mod=20)).to_pandas()
+    flaky = df.resource_id % F.FLAKY_MOD == 0
+    assert (df.loc[flaky, "n_attempts"] == 2).all()
+    assert (df.loc[~flaky, "n_attempts"] == 1).all()
+    assert flaky.any()  # the retry path actually ran
+
+    # non-retryable exhaustion: a URI that never exists fails hard
+    actor = F.FetcherActor()
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        actor._get(1, str(tmp_path / "missing.txt"))
+
+
+def test_fetch_payload_roundtrip(ray_session):
+    """keep_payload=True carries the raw bytes; digests must match the
+    digest-only path (payloads never silently diverge from their md5)."""
+    from cdrc_semantic_search_ray.sources import fetch as F
+
+    store = F.materialize_store(SF_DIR, mod=20)
+    df = F.fetch_resources(F.catalogue(SF_DIR, store, mod=20),
+                           keep_payload=True).to_pandas()
+    assert len(df) > 0
+    for _, row in df.head(20).iterrows():
+        # NB row["nbytes"], not row.nbytes — the attribute is pandas'
+        # Series.nbytes (memory footprint), which shadows the column
+        assert hashlib.md5(row["payload"]).hexdigest() == row["payload_md5"]
+        assert len(row["payload"]) == row["nbytes"]
+
+
+def test_sequence_packing_invariants(ray_session):
+    """Packing must tile each shard: exclusive prefix within (source,
+    doc_id order) == pack_id*budget + seq_offset, monotone per shard."""
+    from cdrc_semantic_search_ray.pipelines import relational as R
+    from cdrc_semantic_search_ray.pipelines.text import sequence_packing
+
+    budget = 64
+    df = sequence_packing(
+        R.read_table(SF_DIR, "documents", ["doc_id", "source", "text"]),
+        budget=budget).to_pandas().sort_values(["source", "doc_id"])
+    for _, g in df.groupby("source"):
+        excl = g.n_tokens.cumsum() - g.n_tokens
+        assert (g.pack_id * budget + g.seq_offset == excl).all()
+        assert g.pack_id.is_monotonic_increasing
+        assert (g.seq_offset < budget).all()

@@ -21,17 +21,24 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 # the six operators that had no driver row in rounds 1-3 (registered past
-# the old horizon) — round 4 rotated them inside
+# the old horizon) — round 4 rotated them inside — plus the three NEW
+# round-4 operators (genai.py M11/C4/C5 analogues, all oracle-backed; new
+# operators must not land in the driver's blind spot)
 MUST_BE_INSIDE = {
     "q19_simhash_dedup", "q20_ngram_jaccard_dedup", "q24_similarity_ivf",
     "q28_langid", "q29_multimodal_features", "q53_approx_top_tokens",
+    "q55_response_split", "q56_generate_answers", "q57_eval_sweep",
+    "q58_fetch_resources", "q59_redact_terms", "q60_sequence_packing",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
-# kg golden pytests)
+# kg golden pytests; every rotated oracle query carries ≥2 green driver
+# rows from rounds 1-3)
 ROTATED_OUT = {
-    "q05_distinct", "q11_string_normalize", "q12_regex_hits",
-    "q13_monthly_orders", "kg_mentions", "kg_triples",
+    "q02_filter_project", "q04_sort_limit", "q05_distinct",
+    "q09_topk_per_group", "q11_string_normalize", "q12_regex_hits",
+    "q13_monthly_orders", "q15_region_revenue", "q45_read_json_catalogue",
+    "q47_sliding_window", "kg_mentions", "kg_triples",
     "q54_serving_session",  # stateful per-request serving — pytest-only
 }
 
@@ -96,14 +103,19 @@ def test_q41_broadcast_matches_join_path(ray_session):
     assert len(a) > 0
 
 
-@pytest.mark.parametrize("name", ["q05_distinct", "q11_string_normalize",
-                                  "q12_regex_hits", "q13_monthly_orders"])
+@pytest.mark.parametrize("name", ["q02_filter_project", "q04_sort_limit",
+                                  "q05_distinct", "q09_topk_per_group",
+                                  "q11_string_normalize", "q12_regex_hits",
+                                  "q13_monthly_orders", "q15_region_revenue",
+                                  "q45_read_json_catalogue",
+                                  "q47_sliding_window"])
 def test_rotated_oracle_queries(ray_session, name):
     from cdrc_semantic_search_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     got = QUERIES[name](SF_DIR).to_pandas()
     con = duckdb.connect()
-    for t in ("documents", "orders", "lineitem", "events"):
+    for t in ("documents", "orders", "lineitem", "events", "region",
+              "nation", "customer", "supplier", "part"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF_DIR}/{t}.parquet')")
     want = con.sql(ORACLE_SQL[name]).df()
