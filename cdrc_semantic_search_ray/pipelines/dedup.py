@@ -486,3 +486,143 @@ def embedding_neardup_lsh(embeddings, tau: float = 0.40):
         })
 
     return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs an existing corpus)
+# ---------------------------------------------------------------------------
+BLOOM_SALTS = 64  # fan-in of the pre-driver OR-merge level
+
+
+def _text_hash2(batch: pa.Table, col: str = "text"):
+    """The exact-dedup 128-bit content key (two polars 64-bit row hashes,
+    seeds 0/1) as uint64 numpy arrays — shared arithmetic with
+    exact_dedup's digest so both paths agree on text identity."""
+    import polars as pl
+
+    t = pa.table({"t": batch[col].combine_chunks()})
+    h0 = pl.from_arrow(t).hash_rows(seed=0).to_numpy()
+    h1 = pl.from_arrow(t).hash_rows(seed=1).to_numpy()
+    return h0, h1
+
+
+def build_bloom(old, m_bits: int = 1 << 20, k: int = 4,
+                col: str = "text") -> bytes:
+    """Distributed Bloom filter of the OLD corpus' text content.
+
+    Per batch: double-hashing (h0 + i·h1) % m into a local m-bit array
+    (``np.bitwise_or.at`` — duplicate indices within a batch are safe);
+    partials are fixed-size binary rows, OR-merged in TWO levels (one
+    key shuffle over BLOOM_SALTS salt groups, then ≤64 rows on the
+    driver) — driver work is bounded by salts × m/8 bytes regardless of
+    corpus size. Size ``m_bits`` ≈ 10 bits/key for ~1 % FP in
+    production; false positives only cost verify-join traffic, never
+    correctness."""
+    from ..functions.arrays import fixed_binary_to_matrix
+    from ..stages.keyblocks import map_key_blocks
+
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"salt": pa.array([], pa.int64()),
+                             "bloom": pa.array([], pa.binary(nbytes))})
+        h0, h1 = _text_hash2(batch, col)
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for i in range(k):
+            idx = (h0 + np.uint64(i) * h1) % np.uint64(m_bits)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(
+                                 np.uint8))
+        return pa.table({
+            "salt": pa.array([int(h0[0] % BLOOM_SALTS)], pa.int64()),
+            "bloom": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(nbytes), 1, [None, pa.py_buffer(bits.tobytes())]),
+        })
+
+    partials = old.map_batches(partial, batch_format="pyarrow")
+
+    def or_block(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return pa.table({"salt": pa.array([], pa.int64()),
+                             "bloom": pa.array([], pa.binary(nbytes))})
+        m = fixed_binary_to_matrix(block["bloom"], np.uint8)
+        merged = np.bitwise_or.reduce(m, axis=0)
+        return pa.table({
+            "salt": block["salt"].slice(0, 1).combine_chunks(),
+            "bloom": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(nbytes), 1,
+                [None, pa.py_buffer(merged.tobytes())]),
+        })
+
+    level1 = map_key_blocks(partials, ["salt"], or_block, num_blocks=8)
+    rows = level1.take_all()  # bounded: ≤ BLOOM_SALTS rows of m/8 bytes
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def incremental_dedup(old, new, m_bits: int = 1 << 20, k: int = 4,
+                      col: str = "text", id_col: str = "doc_id",
+                      num_buckets: int = 32):
+    """Dedup a NEW batch against an EXISTING corpus — the incremental
+    ingestion shape (100 TB corpus, daily arrivals): rows of ``new``
+    whose text content does not appear anywhere in ``old``.
+
+    Scale design: the old corpus is distilled ONCE into a fixed-size
+    Bloom filter (broadcast via ``ray.put``, read per task — never
+    re-shipped per batch). Bloom-negative rows are definitely new and
+    short-circuit; only the bloom-POSITIVE sliver (true dups + the
+    m_bits-tunable FP fraction) enters the exact verify — a bucketed
+    anti join on the 128-bit content key against the old corpus' keys.
+    Exactness: the bloom can only over-approximate membership, and every
+    positive is verified, so the result equals the plain anti join at a
+    fraction of its exchange volume. ``new`` is scanned twice (both
+    passes stream; nothing materializes).
+
+    Returns (id_col,) — the surviving new-row ids."""
+    import ray
+
+    from . import relational as R
+
+    bloom_ref = ray.put(np.frombuffer(
+        build_bloom(old, m_bits=m_bits, k=k, col=col), dtype=np.uint8))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h0, h1 = _text_hash2(batch, col)
+        bloom = ray.get(bloom_ref)
+        hit = np.ones(len(batch), dtype=bool)
+        for i in range(k):
+            idx = (h0 + np.uint64(i) * h1) % np.uint64(m_bits)
+            byte = bloom[(idx >> np.uint64(3)).astype(np.int64)]
+            hit &= ((byte >> (idx & np.uint64(7)).astype(np.uint8))
+                    & 1).astype(bool)
+        return pa.table({
+            id_col: batch[id_col].combine_chunks(),
+            "h0": pa.array(h0.view(np.int64)),
+            "h1": pa.array(h1.view(np.int64)),
+            "hit": pa.array(hit),
+        })
+
+    def negatives(batch: pa.Table) -> pa.Table:
+        b = tag(batch)
+        return b.filter(pc.invert(b["hit"])).select([id_col])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        b = tag(batch)
+        return b.filter(b["hit"]).select([id_col, "h0", "h1"])
+
+    def old_keys(batch: pa.Table) -> pa.Table:
+        h0, h1 = _text_hash2(batch, col)
+        return pa.table({"h0": pa.array(h0.view(np.int64)),
+                         "h1": pa.array(h1.view(np.int64))})
+
+    definite = new.map_batches(negatives, batch_format="pyarrow")
+    survivors = R.hash_join(
+        new.map_batches(candidates, batch_format="pyarrow"),
+        old.map_batches(old_keys, batch_format="pyarrow"),
+        ["h0", "h1"], ["h0", "h1"],
+        num_buckets=num_buckets, join_type="left anti",
+    ).select_columns([id_col])
+    return definite.union(survivors)

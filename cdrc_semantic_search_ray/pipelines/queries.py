@@ -1826,6 +1826,79 @@ FROM (
 """
 
 
+def _parquet_col_max(path: str, col: str) -> int:
+    """Column max from parquet ROW-GROUP STATISTICS — a metadata-only read
+    (no data pages touched; at 100 TB this is a footer scan, not a job)."""
+    f = pq.ParquetFile(path)
+    ci = f.schema_arrow.names.index(col)
+    return max(f.metadata.row_group(rg).column(ci).statistics.max
+               for rg in range(f.metadata.num_row_groups))
+
+
+def q61_incremental_dedup(sf_dir: str):
+    """Incremental ingestion dedup (new batch vs existing corpus — the
+    daily-arrivals-against-100TB shape): old = first half of documents by
+    doc_id, new = second half; result = new ids whose text appears nowhere
+    in old. Bloom-filter broadcast prefilter + bucketed exact anti-join
+    verify of the bloom-positive sliver (pipelines/dedup.py
+    incremental_dedup). The registry m_bits is sized SMALL (4096 bits for
+    ~250 old keys, FP ≈ 1-2 %) so the verify join provably runs — the
+    oracle hash then proves false positives are retained, not dropped.
+    Production sizing ≈ 10 bits/key."""
+    split = (_parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id")
+             + 1) // 2
+    docs = R.read_table(sf_dir, "documents", ["doc_id", "text"])
+    old = docs.filter(expr=f"doc_id < {split}")
+    new = docs.filter(expr=f"doc_id >= {split}")
+    return D.incremental_dedup(old, new, m_bits=4096, k=2)
+
+
+_SQL_Q61 = """
+SELECT doc_id FROM documents
+WHERE doc_id >= (SELECT (max(doc_id) + 1) // 2 FROM documents)
+  AND md5(text) NOT IN (
+      SELECT md5(text) FROM documents
+      WHERE doc_id < (SELECT (max(doc_id) + 1) // 2 FROM documents))
+"""
+
+
+# per-language sampling rates as hex thresholds on the first two md5
+# digits (the q42 kernel, stratified): en 75 %, es 50 %, de 25 %,
+# fr 12.5 %, others 6.25 %
+_Q62_RATES = {"en": "c0", "es": "80", "de": "40", "fr": "20"}
+_Q62_DEFAULT = "10"
+
+
+def q62_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling (per-language rates — training
+    mixture rebalancing): keep a row iff md5(doc_id)[:2] is below its
+    language's threshold. Same stable content-hash Bernoulli kernel as
+    q42 (membership survives reruns and resharding), rate now a function
+    of the stratum column. Pure map-filter, no shuffle, no RNG state."""
+    import hashlib
+
+    ds = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:2]
+             < _Q62_RATES.get(lg, _Q62_DEFAULT)
+             for i, lg in zip(ids, langs)])
+        return batch.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_Q62 = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN 'c0' WHEN 'es' THEN '80'
+                WHEN 'de' THEN '40' WHEN 'fr' THEN '20' ELSE '10' END
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1918,9 +1991,14 @@ def kg_nodes(sf_dir: str):
 #   q09_topk_per_group per-group rank merge evidence also via q23/q35
 #   q47_sliding_window window family keeps 5 driver rows (q10/q38/q40/
 #                      q44/q52)
-# (the round-4 additions q58/q59/q60 — S2 fetch analogue, redaction,
-# sequence packing — take their horizon slots; every rotated-out entry is
-# re-verified each session by tests/test_registry.py's oracle sweep)
+#   q25_token_count    the identical \S+ token kernel is oracle-checked
+#                      inside q60's n_tokens column
+#   q42_deterministic_sample  strictly generalized by q62 (same md5
+#                      kernel, per-stratum rates)
+# (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
+# packing, incremental bloom dedup, stratified sampling — take their
+# horizon slots; every rotated-out entry is re-verified each session by
+# tests/test_registry.py's oracle sweep)
 # ---------------------------------------------------------------------------
 
 DRIVER_HORIZON = 50  # the driver records rows for this many entries
@@ -1942,7 +2020,6 @@ QUERIES = {
     "q22_embedding_neardup_lsh": q22_embedding_neardup_lsh,
     "q23_similarity_topk": q23_similarity_topk,
     "q24_similarity_ivf": q24_similarity_ivf,
-    "q25_token_count": q25_token_count,
     "q26_text_quality": q26_text_quality,
     "q27_fingerprint": q27_fingerprint,
     "q28_langid": q28_langid,
@@ -1959,7 +2036,6 @@ QUERIES = {
     "q39_quantiles": q39_quantiles,
     "q40_asof_join": q40_asof_join,
     "q41_embedding_centroids": q41_embedding_centroids,
-    "q42_deterministic_sample": q42_deterministic_sample,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
     "q44_range_join": q44_range_join,
     "q46_pushdown_scan": q46_pushdown_scan,
@@ -1975,12 +2051,16 @@ QUERIES = {
     "q58_fetch_resources": q58_fetch_resources,
     "q59_redact_terms": q59_redact_terms,
     "q60_sequence_packing": q60_sequence_packing,
+    "q61_incremental_dedup": q61_incremental_dedup,
+    "q62_stratified_sample": q62_stratified_sample,
     "kg_conversations": kg_conversations,
     # --- entries past the driver's execution horizon (see the registry
     # comment above): oracle/golden-pytest-verified, still user-callable ---
     "q02_filter_project": q02_filter_project,
     "q04_sort_limit": q04_sort_limit,
     "q09_topk_per_group": q09_topk_per_group,
+    "q25_token_count": q25_token_count,
+    "q42_deterministic_sample": q42_deterministic_sample,
     "q05_distinct": q05_distinct,
     "q11_string_normalize": q11_string_normalize,
     "q12_regex_hits": q12_regex_hits,
@@ -2043,4 +2123,6 @@ ORACLE_SQL = {
     "q58_fetch_resources": _SQL_Q58,
     "q59_redact_terms": _SQL_Q59,
     "q60_sequence_packing": _SQL_Q60,
+    "q61_incremental_dedup": _SQL_Q61,
+    "q62_stratified_sample": _SQL_Q62,
 }

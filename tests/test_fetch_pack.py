@@ -103,3 +103,85 @@ def test_sequence_packing_invariants(ray_session):
         assert (g.pack_id * budget + g.seq_offset == excl).all()
         assert g.pack_id.is_monotonic_increasing
         assert (g.seq_offset < budget).all()
+
+
+@pytest.mark.parametrize("name", ["q61_incremental_dedup",
+                                  "q62_stratified_sample"])
+def test_round4b_oracle(ray_session, name):
+    from cdrc_semantic_search_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF_DIR).to_pandas()
+    want = _oracle(ORACLE_SQL[name])
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _value_hash(got) == _value_hash(want)
+
+
+def test_incremental_dedup_drops_planted_dups(ray_session):
+    """With real duplicates planted across the old/new split, only the
+    non-duplicated new rows survive — and bloom false positives (forced
+    by a tiny filter) are RETAINED by the exact verify, never dropped."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdrc_semantic_search_ray.pipelines.dedup import incremental_dedup
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"old text {i % 40}" for i in range(100)]),
+    }))
+    # new: ids 100-139 duplicate old texts 0-39; 140-199 are genuinely new
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100, 200), pa.int64()),
+        "text": pa.array([f"old text {i - 100}" if i < 140
+                          else f"new text {i}" for i in range(100, 200)]),
+    }))
+    # m_bits=256 over 40 distinct old keys → high FP rate: the verify join
+    # must separate true dups from FPs exactly
+    got = sorted(incremental_dedup(old, new, m_bits=256, k=2)
+                 .to_pandas().doc_id)
+    assert got == list(range(140, 200))
+
+
+def test_build_bloom_no_false_negatives(ray_session):
+    """Every old text must hit the merged bloom (bloom membership can
+    over- but never under-approximate)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdrc_semantic_search_ray.pipelines.dedup import (_text_hash2,
+                                                          build_bloom)
+
+    texts = [f"doc {i}" for i in range(500)]
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "text": pa.array(texts)})).repartition(7)
+    m_bits, k = 1 << 14, 4
+    bloom = np.frombuffer(build_bloom(old, m_bits=m_bits, k=k),
+                          dtype=np.uint8)
+    h0, h1 = _text_hash2(pa.table({"text": pa.array(texts)}))
+    for i in range(k):
+        idx = (h0 + np.uint64(i) * h1) % np.uint64(m_bits)
+        bit = (bloom[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        assert bit.all()
+
+
+def test_stratified_rates(ray_session):
+    """Per-language acceptance must track each stratum's threshold (a
+    md5-uniformity sanity check, ±4 σ at 100 rows/stratum scale)."""
+    from cdrc_semantic_search_ray.pipelines import relational as R
+    from cdrc_semantic_search_ray.pipelines.queries import (_Q62_DEFAULT,
+                                                            _Q62_RATES,
+                                                            q62_stratified_sample)
+
+    base = R.read_table(SF_DIR, "documents",
+                        ["doc_id", "lang"]).to_pandas()
+    got = q62_stratified_sample(SF_DIR).to_pandas()
+    for lang, grp in base.groupby("lang"):
+        rate = int(_Q62_RATES.get(lang, _Q62_DEFAULT), 16) / 256
+        kept = (got.lang == lang).sum()
+        n = len(grp)
+        sigma = (n * rate * (1 - rate)) ** 0.5
+        assert abs(kept - n * rate) < 4 * sigma + 1, (lang, kept, n, rate)
