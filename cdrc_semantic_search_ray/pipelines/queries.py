@@ -1899,6 +1899,65 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
 """
 
 
+_Q63_NPHRASES = 8  # eval-set size for the registry entry
+
+
+def q63_decontaminate(sf_dir: str):
+    """Benchmark decontamination (train-test overlap scan — the standard
+    pretraining hygiene pass): flag every training document containing
+    any eval-set phrase as an exact substring. Eval set = a 5-token span
+    (tokens 3-7) of each of the first 8 documents, derived with the same
+    RE2 kernel the oracle's string_split_regex uses.
+
+    Scale shape: the phrase set broadcasts in the UDF closure and each
+    batch runs one vectorized ``match_substring`` pass per phrase —
+    at memorized-benchmark scale (~1e5 phrases) swap the inner loop for
+    an Aho-Corasick automaton built once per actor (``__init__`` seam,
+    same pattern as stages/linker.py); the data plane is identical.
+    Output: (doc_id, phrase_id) for every contaminated pair."""
+    docs = R.read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    qt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "<", _Q63_NPHRASES)])
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(qt["text"])), r"\s+")
+    phrases = [(int(i), " ".join(t[2:7]))
+               for i, t in zip(qt["doc_id"].to_pylist(), toks.to_pylist())]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(batch["text"].combine_chunks())
+        ids = batch["doc_id"].combine_chunks().to_numpy()
+        out_doc, out_phrase = [], []
+        for pid, phrase in phrases:  # P vectorized passes, not N×P rows
+            hit = pc.match_substring(low, phrase).to_numpy(
+                zero_copy_only=False)
+            matched = ids[hit]
+            out_doc.append(matched)
+            out_phrase.append(np.full(len(matched), pid, dtype=np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_doc)
+                               if out_doc else [], pa.int64()),
+            "phrase_id": pa.array(np.concatenate(out_phrase)
+                                  if out_phrase else [], pa.int64()),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+_SQL_Q63 = r"""
+WITH p AS (
+  SELECT doc_id AS phrase_id,
+         array_to_string(
+             (string_split_regex(trim(lower(text)), '\s+'))[3:7],
+             ' ') AS phrase
+  FROM documents WHERE doc_id < 8)
+SELECT d.doc_id, p.phrase_id
+FROM documents d, p
+WHERE contains(lower(d.text), p.phrase)
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -1995,6 +2054,8 @@ def kg_nodes(sf_dir: str):
 #                      inside q60's n_tokens column
 #   q42_deterministic_sample  strictly generalized by q62 (same md5
 #                      kernel, per-stratum rates)
+#   q10_window_hourly  window family keeps 4 driver rows (q38/q40/q44/
+#                      q52); tumbling bucketing is q47's pytest kernel
 # (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
 # packing, incremental bloom dedup, stratified sampling — take their
 # horizon slots; every rotated-out entry is re-verified each session by
@@ -2009,7 +2070,6 @@ QUERIES = {
     "q06_count_by_group": q06_count_by_group,
     "q07_anti_join": q07_anti_join,
     "q08_semi_join_agg": q08_semi_join_agg,
-    "q10_window_hourly": q10_window_hourly,
     "q14_hash_join_agg": q14_hash_join_agg,
     "q16_journeys": q16_journeys,
     "q17_exact_dedup": q17_exact_dedup,
@@ -2053,12 +2113,14 @@ QUERIES = {
     "q60_sequence_packing": q60_sequence_packing,
     "q61_incremental_dedup": q61_incremental_dedup,
     "q62_stratified_sample": q62_stratified_sample,
+    "q63_decontaminate": q63_decontaminate,
     "kg_conversations": kg_conversations,
     # --- entries past the driver's execution horizon (see the registry
     # comment above): oracle/golden-pytest-verified, still user-callable ---
     "q02_filter_project": q02_filter_project,
     "q04_sort_limit": q04_sort_limit,
     "q09_topk_per_group": q09_topk_per_group,
+    "q10_window_hourly": q10_window_hourly,
     "q25_token_count": q25_token_count,
     "q42_deterministic_sample": q42_deterministic_sample,
     "q05_distinct": q05_distinct,
@@ -2125,4 +2187,5 @@ ORACLE_SQL = {
     "q60_sequence_packing": _SQL_Q60,
     "q61_incremental_dedup": _SQL_Q61,
     "q62_stratified_sample": _SQL_Q62,
+    "q63_decontaminate": _SQL_Q63,
 }

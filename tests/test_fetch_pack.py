@@ -185,3 +185,18 @@ def test_stratified_rates(ray_session):
         n = len(grp)
         sigma = (n * rate * (1 - rate)) ** 0.5
         assert abs(kept - n * rate) < 4 * sigma + 1, (lang, kept, n, rate)
+
+
+def test_decontaminate_oracle_and_sources(ray_session):
+    from cdrc_semantic_search_ray.pipelines.queries import (_Q63_NPHRASES,
+                                                            ORACLE_SQL,
+                                                            QUERIES)
+
+    got = QUERIES["q63_decontaminate"](SF_DIR).to_pandas()
+    want = _oracle(ORACLE_SQL["q63_decontaminate"])
+    assert len(got) == len(want) > 0
+    assert _value_hash(got) == _value_hash(want)
+    # every eval phrase must at minimum flag its own source document
+    pairs = set(map(tuple, got[["doc_id", "phrase_id"]].values))
+    for pid in range(_Q63_NPHRASES):
+        assert (pid, pid) in pairs

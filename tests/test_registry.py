@@ -30,6 +30,7 @@ MUST_BE_INSIDE = {
     "q55_response_split", "q56_generate_answers", "q57_eval_sweep",
     "q58_fetch_resources", "q59_redact_terms", "q60_sequence_packing",
     "q61_incremental_dedup", "q62_stratified_sample",
+    "q63_decontaminate",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -38,7 +39,8 @@ MUST_BE_INSIDE = {
 ROTATED_OUT = {
     "q02_filter_project", "q04_sort_limit", "q05_distinct",
     "q09_topk_per_group", "q11_string_normalize", "q12_regex_hits",
-    "q13_monthly_orders", "q15_region_revenue", "q25_token_count",
+    "q10_window_hourly", "q13_monthly_orders",
+    "q15_region_revenue", "q25_token_count",
     "q42_deterministic_sample", "q45_read_json_catalogue",
     "q47_sliding_window", "kg_mentions", "kg_triples",
     "q54_serving_session",  # stateful per-request serving — pytest-only
@@ -107,6 +109,7 @@ def test_q41_broadcast_matches_join_path(ray_session):
 
 @pytest.mark.parametrize("name", ["q02_filter_project", "q04_sort_limit",
                                   "q05_distinct", "q09_topk_per_group",
+                                  "q10_window_hourly",
                                   "q11_string_normalize", "q12_regex_hits",
                                   "q13_monthly_orders", "q15_region_revenue",
                                   "q25_token_count",
