@@ -124,7 +124,9 @@ def bench_queries() -> tuple[dict[str, float], dict]:
              "q49_approx_distinct", "q50_approx_quantiles",
              "q51_shuffled_export", "q55_response_split",
              "q56_generate_answers", "q57_eval_sweep",
-             "q59_redact_terms", "q60_sequence_packing"]
+             "q59_redact_terms", "q60_sequence_packing",
+             "q61_incremental_dedup", "q62_stratified_sample",
+             "q63_decontaminate"]
     raw: list[dict] = []
     best: dict[str, float] = {}
     for rep in range(BENCH_REPS):
