@@ -1958,6 +1958,39 @@ WHERE contains(lower(d.text), p.phrase)
 """
 
 
+def q64_quantize_embeddings(sf_dir: str):
+    """Int8 embedding quantization (the ANN memory scale path — fp32 →
+    int8 is 4× less index memory/bandwidth; symmetric per-vector scales
+    cancel in cosine so retrieval needs no dequantization). Output keeps
+    the quantized vector's exact integer stats (sum, squared norm) plus
+    the fixed-point scale, all SQL-derivable — the oracle re-quantizes in
+    DuckDB and must agree bit-for-bit. The quantized RETRIEVAL path
+    (similarity.topk_quantized) is recall-bounded against the fp32 exact
+    scan in tests/test_fetch_pack.py."""
+    from .similarity import quantize_int8
+
+    return quantize_int8(R.read_table(sf_dir, "embeddings",
+                                      ["vec_id", "embedding"]))
+
+
+_SQL_Q64 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+a AS (SELECT vec_id, emb,
+             greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30)
+                 AS amax
+      FROM e),
+q AS (SELECT vec_id, amax,
+             list_transform(emb, x -> CAST(round(127 * x / amax)
+                                           AS BIGINT)) AS qv
+      FROM a)
+SELECT vec_id,
+       CAST(round(1e6 * amax / 127) AS BIGINT) AS scale_e6,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2
+FROM q
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -2056,6 +2089,8 @@ def kg_nodes(sf_dir: str):
 #                      kernel, per-stratum rates)
 #   q10_window_hourly  window family keeps 4 driver rows (q38/q40/q44/
 #                      q52); tumbling bucketing is q47's pytest kernel
+#   q08_semi_join_agg  gated semi/anti evidence also via q07 (the anti
+#                      half of the same _gated_semi_anti path)
 # (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
 # packing, incremental bloom dedup, stratified sampling — take their
 # horizon slots; every rotated-out entry is re-verified each session by
@@ -2069,7 +2104,6 @@ QUERIES = {
     "q03_broadcast_join_agg": q03_broadcast_join_agg,
     "q06_count_by_group": q06_count_by_group,
     "q07_anti_join": q07_anti_join,
-    "q08_semi_join_agg": q08_semi_join_agg,
     "q14_hash_join_agg": q14_hash_join_agg,
     "q16_journeys": q16_journeys,
     "q17_exact_dedup": q17_exact_dedup,
@@ -2114,12 +2148,14 @@ QUERIES = {
     "q61_incremental_dedup": q61_incremental_dedup,
     "q62_stratified_sample": q62_stratified_sample,
     "q63_decontaminate": q63_decontaminate,
+    "q64_quantize_embeddings": q64_quantize_embeddings,
     "kg_conversations": kg_conversations,
     # --- entries past the driver's execution horizon (see the registry
     # comment above): oracle/golden-pytest-verified, still user-callable ---
     "q02_filter_project": q02_filter_project,
     "q04_sort_limit": q04_sort_limit,
     "q09_topk_per_group": q09_topk_per_group,
+    "q08_semi_join_agg": q08_semi_join_agg,
     "q10_window_hourly": q10_window_hourly,
     "q25_token_count": q25_token_count,
     "q42_deterministic_sample": q42_deterministic_sample,
@@ -2188,4 +2224,5 @@ ORACLE_SQL = {
     "q61_incremental_dedup": _SQL_Q61,
     "q62_stratified_sample": _SQL_Q62,
     "q63_decontaminate": _SQL_Q63,
+    "q64_quantize_embeddings": _SQL_Q64,
 }

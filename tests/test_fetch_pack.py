@@ -200,3 +200,40 @@ def test_decontaminate_oracle_and_sources(ray_session):
     pairs = set(map(tuple, got[["doc_id", "phrase_id"]].values))
     for pid in range(_Q63_NPHRASES):
         assert (pid, pid) in pairs
+
+
+def test_quantize_oracle(ray_session):
+    from cdrc_semantic_search_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES["q64_quantize_embeddings"](SF_DIR).to_pandas()
+    con = duckdb.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/embeddings.parquet')")
+    want = con.sql(ORACLE_SQL["q64_quantize_embeddings"]).df()
+    assert len(got) == len(want) > 0
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _value_hash(got) == _value_hash(want)
+
+
+def test_quantized_topk_recall(ray_session):
+    """int8-quantized retrieval must agree with the fp32 exact scan on
+    nearly every neighbor (quantization noise may flip distant ties but
+    recall@k stays high)."""
+    from cdrc_semantic_search_ray.pipelines import relational as R
+    from cdrc_semantic_search_ray.pipelines.similarity import (
+        topk_bruteforce, topk_quantized)
+
+    embs = R.read_table(SF_DIR, "embeddings", ["vec_id", "embedding"])
+    qids = [0, 1, 2, 3, 4]
+    k = 5
+    exact = topk_bruteforce(embs, qids, k=k).to_pandas()
+    quant = topk_quantized(
+        R.read_table(SF_DIR, "embeddings", ["vec_id", "embedding"]),
+        qids, k=k).to_pandas()
+    hits = total = 0
+    for q in qids:
+        e = set(exact.loc[exact.query_id == q, "neighbor_id"])
+        g = set(quant.loc[quant.query_id == q, "neighbor_id"])
+        hits += len(e & g)
+        total += len(e)
+    assert total > 0 and hits / total >= 0.8, (hits, total)

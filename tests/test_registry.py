@@ -30,7 +30,7 @@ MUST_BE_INSIDE = {
     "q55_response_split", "q56_generate_answers", "q57_eval_sweep",
     "q58_fetch_resources", "q59_redact_terms", "q60_sequence_packing",
     "q61_incremental_dedup", "q62_stratified_sample",
-    "q63_decontaminate",
+    "q63_decontaminate", "q64_quantize_embeddings",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -38,7 +38,8 @@ MUST_BE_INSIDE = {
 # rows from rounds 1-3)
 ROTATED_OUT = {
     "q02_filter_project", "q04_sort_limit", "q05_distinct",
-    "q09_topk_per_group", "q11_string_normalize", "q12_regex_hits",
+    "q08_semi_join_agg", "q09_topk_per_group",
+    "q11_string_normalize", "q12_regex_hits",
     "q10_window_hourly", "q13_monthly_orders",
     "q15_region_revenue", "q25_token_count",
     "q42_deterministic_sample", "q45_read_json_catalogue",
@@ -108,7 +109,8 @@ def test_q41_broadcast_matches_join_path(ray_session):
 
 
 @pytest.mark.parametrize("name", ["q02_filter_project", "q04_sort_limit",
-                                  "q05_distinct", "q09_topk_per_group",
+                                  "q05_distinct", "q08_semi_join_agg",
+                                  "q09_topk_per_group",
                                   "q10_window_hourly",
                                   "q11_string_normalize", "q12_regex_hits",
                                   "q13_monthly_orders", "q15_region_revenue",
