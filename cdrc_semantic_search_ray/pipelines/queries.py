@@ -1973,6 +1973,40 @@ def q64_quantize_embeddings(sf_dir: str):
                                       ["vec_id", "embedding"]))
 
 
+def q65_repetition_quality(sf_dir: str):
+    """Repetition-based quality scoring (Gopher-rule family): per-doc
+    most-frequent-token share + duplicate-bigram fraction
+    (pipelines/text.py repetition_scores — one factorize + sorted
+    run-length kernels, no per-doc Python)."""
+    return T.repetition_scores(R.read_table(sf_dir, "documents",
+                                            ["doc_id", "text"]))
+
+
+_SQL_Q65 = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+ta  AS (SELECT doc_id, max(c) AS mx, sum(c) AS n, count(*) AS d
+        FROM cnt GROUP BY doc_id),
+bg  AS (SELECT doc_id,
+               list_transform(list_zip(toks[1:-2], toks[2:]),
+                              p -> p[1] || ' ' || p[2]) AS bgs
+        FROM t),
+ba  AS (SELECT doc_id, len(bgs) AS nb, len(list_distinct(bgs)) AS db
+        FROM bg)
+SELECT ta.doc_id,
+       CAST(ta.n AS BIGINT) AS n_tokens,
+       CAST(ta.d AS BIGINT) AS n_distinct,
+       CAST(round(1e6 * ta.mx / ta.n) AS BIGINT) AS top1_share_e6,
+       CAST(CASE WHEN ba.nb > 0
+                 THEN round(1e6 * (ba.nb - ba.db) / ba.nb) ELSE 0 END
+            AS BIGINT) AS dup_bigram_e6
+FROM ta JOIN ba ON ta.doc_id = ba.doc_id
+"""
+
+
 _SQL_Q64 = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 a AS (SELECT vec_id, emb,
@@ -2091,6 +2125,8 @@ def kg_nodes(sf_dir: str):
 #                      q52); tumbling bucketing is q47's pytest kernel
 #   q08_semi_join_agg  gated semi/anti evidence also via q07 (the anti
 #                      half of the same _gated_semi_anti path)
+#   q27_fingerprint    text family keeps q26/q28/q43/q53/q59/q60/q63/q65
+#                      driver rows
 # (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
 # packing, incremental bloom dedup, stratified sampling — take their
 # horizon slots; every rotated-out entry is re-verified each session by
@@ -2115,7 +2151,6 @@ QUERIES = {
     "q23_similarity_topk": q23_similarity_topk,
     "q24_similarity_ivf": q24_similarity_ivf,
     "q26_text_quality": q26_text_quality,
-    "q27_fingerprint": q27_fingerprint,
     "q28_langid": q28_langid,
     "q29_multimodal_features": q29_multimodal_features,
     "q30_log_mining": q30_log_mining,
@@ -2149,6 +2184,7 @@ QUERIES = {
     "q62_stratified_sample": q62_stratified_sample,
     "q63_decontaminate": q63_decontaminate,
     "q64_quantize_embeddings": q64_quantize_embeddings,
+    "q65_repetition_quality": q65_repetition_quality,
     "kg_conversations": kg_conversations,
     # --- entries past the driver's execution horizon (see the registry
     # comment above): oracle/golden-pytest-verified, still user-callable ---
@@ -2158,6 +2194,7 @@ QUERIES = {
     "q08_semi_join_agg": q08_semi_join_agg,
     "q10_window_hourly": q10_window_hourly,
     "q25_token_count": q25_token_count,
+    "q27_fingerprint": q27_fingerprint,
     "q42_deterministic_sample": q42_deterministic_sample,
     "q05_distinct": q05_distinct,
     "q11_string_normalize": q11_string_normalize,
@@ -2225,4 +2262,5 @@ ORACLE_SQL = {
     "q62_stratified_sample": _SQL_Q62,
     "q63_decontaminate": _SQL_Q63,
     "q64_quantize_embeddings": _SQL_Q64,
+    "q65_repetition_quality": _SQL_Q65,
 }

@@ -217,3 +217,80 @@ def sequence_packing(docs, budget: int = 256, shard_col: str = "source"):
         })
 
     return map_key_blocks(counted, [shard_col], pack, num_blocks=16)
+
+
+def repetition_scores(docs):
+    """Repetition-based quality signals (the Gopher-rule family that q26's
+    length/punct/stopword ratios don't cover): per doc, the most-frequent
+    token's share and the duplicate-bigram fraction — the standard
+    boilerplate/spam discriminators for pretraining filters.
+
+    Fully vectorized: ONE tokenize pass, one factorize, then sorted
+    run-length kernels (lexsort + diff) for per-doc distinct/max counts —
+    no per-doc Python. Ratios are e6 fixed-point with the oracle's exact
+    operation order ((1e6·x)/y, one division, round half away)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "n_distinct": pa.array([], pa.int64()),
+                      "top1_share_e6": pa.array([], pa.int64()),
+                      "dup_bigram_e6": pa.array([], pa.int64())})
+
+    def _round_e6(num: "np.ndarray", den: "np.ndarray") -> "np.ndarray":
+        r = np.divide(1e6 * num, den, out=np.zeros(len(num)),
+                      where=den > 0)
+        return np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                batch["text"].combine_chunks())), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+        codes, uniq = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(n), lens)
+
+        # per-(doc, token) counts via one lexsort + run-length pass
+        order = np.lexsort((codes, doc_idx))
+        di, ci = doc_idx[order], codes[order]
+        new = np.ones(len(di), dtype=bool)
+        new[1:] = (di[1:] != di[:-1]) | (ci[1:] != ci[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(di)))
+        gdoc = di[starts]
+        n_distinct = np.bincount(gdoc, minlength=n)
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, gdoc, counts)
+
+        # bigrams: consecutive code pairs within a doc (boundary masked)
+        valid = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) else \
+            np.array([], dtype=bool)
+        V = np.int64(len(uniq) + 1)
+        bg = codes[:-1].astype(np.int64) * V + codes[1:]
+        bg, bgd = bg[valid], doc_idx[:-1][valid]
+        nb = np.bincount(bgd, minlength=n)
+        order2 = np.lexsort((bg, bgd))
+        db = np.zeros(n, dtype=np.int64)
+        if len(bg):
+            b2, d2 = bg[order2], bgd[order2]
+            new2 = np.ones(len(b2), dtype=bool)
+            new2[1:] = (d2[1:] != d2[:-1]) | (b2[1:] != b2[:-1])
+            db = np.bincount(d2[np.flatnonzero(new2)], minlength=n)
+
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "n_tokens": pa.array(lens),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "top1_share_e6": pa.array(_round_e6(mx.astype(np.float64),
+                                                lens.astype(np.float64))),
+            "dup_bigram_e6": pa.array(_round_e6(
+                (nb - db).astype(np.float64), nb.astype(np.float64))),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")

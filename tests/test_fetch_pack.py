@@ -237,3 +237,31 @@ def test_quantized_topk_recall(ray_session):
         hits += len(e & g)
         total += len(e)
     assert total > 0 and hits / total >= 0.8, (hits, total)
+
+
+def test_repetition_scores(ray_session):
+    """Oracle match plus the semantic invariant the hash can't explain:
+    a synthetic all-same-token doc maxes both signals, a all-distinct doc
+    zeroes them."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cdrc_semantic_search_ray.pipelines.queries import (ORACLE_SQL,
+                                                            QUERIES)
+    from cdrc_semantic_search_ray.pipelines.text import repetition_scores
+
+    got = QUERIES["q65_repetition_quality"](SF_DIR).to_pandas()
+    want = _oracle(ORACLE_SQL["q65_repetition_quality"])
+    assert len(got) == len(want) > 0
+    assert _value_hash(got) == _value_hash(want)
+
+    synth = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["spam spam spam spam", "a b c d"]),
+    }))
+    df = repetition_scores(synth).to_pandas().set_index("doc_id")
+    assert df.loc[0, "top1_share_e6"] == 1_000_000
+    # 3 bigrams, 1 distinct → duplicate fraction (3-1)/3
+    assert df.loc[0, "dup_bigram_e6"] == 666_667
+    assert df.loc[1, "top1_share_e6"] == 250_000
+    assert df.loc[1, "dup_bigram_e6"] == 0

@@ -31,6 +31,7 @@ MUST_BE_INSIDE = {
     "q58_fetch_resources", "q59_redact_terms", "q60_sequence_packing",
     "q61_incremental_dedup", "q62_stratified_sample",
     "q63_decontaminate", "q64_quantize_embeddings",
+    "q65_repetition_quality",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -40,7 +41,7 @@ ROTATED_OUT = {
     "q02_filter_project", "q04_sort_limit", "q05_distinct",
     "q08_semi_join_agg", "q09_topk_per_group",
     "q11_string_normalize", "q12_regex_hits",
-    "q10_window_hourly", "q13_monthly_orders",
+    "q10_window_hourly", "q13_monthly_orders", "q27_fingerprint",
     "q15_region_revenue", "q25_token_count",
     "q42_deterministic_sample", "q45_read_json_catalogue",
     "q47_sliding_window", "kg_mentions", "kg_triples",
@@ -114,7 +115,7 @@ def test_q41_broadcast_matches_join_path(ray_session):
                                   "q10_window_hourly",
                                   "q11_string_normalize", "q12_regex_hits",
                                   "q13_monthly_orders", "q15_region_revenue",
-                                  "q25_token_count",
+                                  "q25_token_count", "q27_fingerprint",
                                   "q42_deterministic_sample",
                                   "q45_read_json_catalogue",
                                   "q47_sliding_window"])
