@@ -1973,6 +1973,33 @@ def q64_quantize_embeddings(sf_dir: str):
                                       ["vec_id", "embedding"]))
 
 
+def q66_pack_sequences(sf_dir: str):
+    """Materialized packed training sequences (one row per (source,
+    pack_id): member texts concatenated in doc_id order) — completes q60's
+    assignment into the artifact a trainer consumes, on the SAME single
+    key shuffle (pipelines/text.py pack_sequences)."""
+    return T.pack_sequences(R.read_table(sf_dir, "documents",
+                                         ["doc_id", "source", "text"]),
+                            budget=256)
+
+
+_SQL_Q66 = r"""
+WITH a AS (
+  SELECT doc_id, source, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+FROM a
+GROUP BY source, CAST((cum - n_tokens) // 256 AS BIGINT)
+"""
+
+
 def q65_repetition_quality(sf_dir: str):
     """Repetition-based quality scoring (Gopher-rule family): per-doc
     most-frequent-token share + duplicate-bigram fraction
@@ -2127,6 +2154,8 @@ def kg_nodes(sf_dir: str):
 #                      half of the same _gated_semi_anti path)
 #   q27_fingerprint    text family keeps q26/q28/q43/q53/q59/q60/q63/q65
 #                      driver rows
+#   q21_embedding_neardup  exact-path gate parity is pytest-pinned; the
+#                      dedup family keeps q17/q18/q19/q20/q22/q61 rows
 # (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
 # packing, incremental bloom dedup, stratified sampling — take their
 # horizon slots; every rotated-out entry is re-verified each session by
@@ -2146,7 +2175,6 @@ QUERIES = {
     "q18_minhash_lsh_dedup": q18_minhash_lsh_dedup,
     "q19_simhash_dedup": q19_simhash_dedup,
     "q20_ngram_jaccard_dedup": q20_ngram_jaccard_dedup,
-    "q21_embedding_neardup": q21_embedding_neardup,
     "q22_embedding_neardup_lsh": q22_embedding_neardup_lsh,
     "q23_similarity_topk": q23_similarity_topk,
     "q24_similarity_ivf": q24_similarity_ivf,
@@ -2185,6 +2213,7 @@ QUERIES = {
     "q63_decontaminate": q63_decontaminate,
     "q64_quantize_embeddings": q64_quantize_embeddings,
     "q65_repetition_quality": q65_repetition_quality,
+    "q66_pack_sequences": q66_pack_sequences,
     "kg_conversations": kg_conversations,
     # --- entries past the driver's execution horizon (see the registry
     # comment above): oracle/golden-pytest-verified, still user-callable ---
@@ -2194,6 +2223,7 @@ QUERIES = {
     "q08_semi_join_agg": q08_semi_join_agg,
     "q10_window_hourly": q10_window_hourly,
     "q25_token_count": q25_token_count,
+    "q21_embedding_neardup": q21_embedding_neardup,
     "q27_fingerprint": q27_fingerprint,
     "q42_deterministic_sample": q42_deterministic_sample,
     "q05_distinct": q05_distinct,
@@ -2263,4 +2293,5 @@ ORACLE_SQL = {
     "q63_decontaminate": _SQL_Q63,
     "q64_quantize_embeddings": _SQL_Q64,
     "q65_repetition_quality": _SQL_Q65,
+    "q66_pack_sequences": _SQL_Q66,
 }

@@ -294,3 +294,74 @@ def repetition_scores(docs):
         })
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def pack_sequences(docs, budget: int = 256, shard_col: str = "source",
+                   sep: str = " "):
+    """Materialize the packed TRAINING SEQUENCES :func:`sequence_packing`
+    only assigns: one row per (shard, pack_id) with the member documents'
+    text concatenated in doc_id order.
+
+    Rides the SAME single key shuffle as the assignment — the block
+    arrives (shard, doc_id)-sorted with text carried, the segmented
+    cumsum yields pack boundaries, and concatenation is one vectorized
+    ``binary_join`` over a ListArray built from those boundaries (no
+    per-pack Python). Output: (shard, pack_id, n_docs, n_tokens,
+    packed_text)."""
+    import numpy as np
+
+    from ..stages.keyblocks import map_key_blocks, run_starts
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            shard_col: batch[shard_col].combine_chunks(),
+            "text": batch["text"].combine_chunks(),
+            "n_tokens": (n.combine_chunks()
+                         if isinstance(n, pa.ChunkedArray) else n)
+            .cast(pa.int64()),
+        })
+
+    counted = docs.map_batches(_count, batch_format="pyarrow")
+    empty = pa.table({shard_col: pa.array([], pa.string()),
+                      "pack_id": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "packed_text": pa.array([], pa.string())})
+
+    def pack(block: pa.Table) -> pa.Table:
+        n = len(block)
+        if n == 0:
+            return empty
+        b = block.sort_by([(shard_col, "ascending"),
+                           ("doc_id", "ascending")])
+        v = b["n_tokens"].combine_chunks().to_numpy()
+        starts = run_starts(b, [shard_col])
+        sizes = np.diff(np.append(starts, n))
+        cs = np.cumsum(v)
+        seg_offset = np.concatenate(([0], cs[starts[1:] - 1])) \
+            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
+        excl = cs - np.repeat(seg_offset, sizes) - v
+        pack_id = excl // budget
+        # pack boundary = shard boundary OR pack_id change
+        new = np.ones(n, dtype=bool)
+        new[1:] = pack_id[1:] != pack_id[:-1]
+        new[starts] = True
+        pstarts = np.flatnonzero(new)
+        offsets = np.append(pstarts, n).astype(np.int32)
+        texts = b["text"].combine_chunks()
+        packed = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), texts), sep)
+        take = pa.array(pstarts, pa.int64())
+        psizes = np.diff(offsets).astype(np.int64)
+        ptokens = np.add.reduceat(v, pstarts)
+        return pa.table({
+            shard_col: b[shard_col].combine_chunks().take(take),
+            "pack_id": pa.array(pack_id[pstarts], pa.int64()),
+            "n_docs": pa.array(psizes),
+            "n_tokens": pa.array(ptokens.astype(np.int64)),
+            "packed_text": packed,
+        })
+
+    return map_key_blocks(counted, [shard_col], pack, num_blocks=16)

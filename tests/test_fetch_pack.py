@@ -265,3 +265,28 @@ def test_repetition_scores(ray_session):
     assert df.loc[0, "dup_bigram_e6"] == 666_667
     assert df.loc[1, "top1_share_e6"] == 250_000
     assert df.loc[1, "dup_bigram_e6"] == 0
+
+
+def test_pack_sequences_consistency(ray_session):
+    """Packed sequences must agree with the assignment (q60): same pack
+    membership, token totals, and doc order within each pack's text."""
+    from cdrc_semantic_search_ray.pipelines import relational as R
+    from cdrc_semantic_search_ray.pipelines.queries import (ORACLE_SQL,
+                                                            QUERIES)
+    from cdrc_semantic_search_ray.pipelines.text import sequence_packing
+
+    got = QUERIES["q66_pack_sequences"](SF_DIR).to_pandas()
+    want = _oracle(ORACLE_SQL["q66_pack_sequences"])
+    assert len(got) == len(want) > 0
+    assert _value_hash(got) == _value_hash(want)
+
+    assign = sequence_packing(
+        R.read_table(SF_DIR, "documents", ["doc_id", "source", "text"]),
+        budget=256).to_pandas()
+    grp = assign.groupby(["source", "pack_id"]).agg(
+        n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"))
+    merged = got.set_index(["source", "pack_id"]).join(
+        grp, rsuffix="_a", how="outer")
+    assert len(merged) == len(got)
+    assert (merged.n_docs == merged.n_docs_a).all()
+    assert (merged.n_tokens == merged.n_tokens_a).all()

@@ -31,7 +31,7 @@ MUST_BE_INSIDE = {
     "q58_fetch_resources", "q59_redact_terms", "q60_sequence_packing",
     "q61_incremental_dedup", "q62_stratified_sample",
     "q63_decontaminate", "q64_quantize_embeddings",
-    "q65_repetition_quality",
+    "q65_repetition_quality", "q66_pack_sequences",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -39,7 +39,7 @@ MUST_BE_INSIDE = {
 # rows from rounds 1-3)
 ROTATED_OUT = {
     "q02_filter_project", "q04_sort_limit", "q05_distinct",
-    "q08_semi_join_agg", "q09_topk_per_group",
+    "q08_semi_join_agg", "q09_topk_per_group", "q21_embedding_neardup",
     "q11_string_normalize", "q12_regex_hits",
     "q10_window_hourly", "q13_monthly_orders", "q27_fingerprint",
     "q15_region_revenue", "q25_token_count",
@@ -115,6 +115,7 @@ def test_q41_broadcast_matches_join_path(ray_session):
                                   "q10_window_hourly",
                                   "q11_string_normalize", "q12_regex_hits",
                                   "q13_monthly_orders", "q15_region_revenue",
+                                  "q21_embedding_neardup",
                                   "q25_token_count", "q27_fingerprint",
                                   "q42_deterministic_sample",
                                   "q45_read_json_catalogue",
@@ -124,8 +125,8 @@ def test_rotated_oracle_queries(ray_session, name):
 
     got = QUERIES[name](SF_DIR).to_pandas()
     con = duckdb.connect()
-    for t in ("documents", "orders", "lineitem", "events", "region",
-              "nation", "customer", "supplier", "part"):
+    for t in ("documents", "embeddings", "orders", "lineitem", "events",
+              "region", "nation", "customer", "supplier", "part"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF_DIR}/{t}.parquet')")
     want = con.sql(ORACLE_SQL[name]).df()
