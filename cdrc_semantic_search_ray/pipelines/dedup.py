@@ -71,12 +71,10 @@ def exact_dedup(docs):
         # (round-3 VERDICT wrong #4). The digest is internal (the output is
         # (doc_id, n_copies), never the hash), so only collision odds
         # matter: 2^-128 birthday bounds dwarf any corpus size. Int keys
-        # also shuffle cheaper than 32-char hex strings.
-        import polars as pl
-
-        t = pa.table({"t": batch["text"].combine_chunks()})
-        h0 = pl.from_arrow(t).hash_rows(seed=0).to_numpy()
-        h1 = pl.from_arrow(t).hash_rows(seed=1).to_numpy()
+        # also shuffle cheaper than 32-char hex strings. _text_hash2 is
+        # the ONE definition of this arithmetic (shared with
+        # incremental_dedup — both paths must agree on text identity).
+        h0, h1 = _text_hash2(batch)
         return pa.table({
             "h0": pa.array(h0.view("int64")),
             "h1": pa.array(h1.view("int64")),

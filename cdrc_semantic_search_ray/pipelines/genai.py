@@ -338,10 +338,10 @@ def eval_sweep(sf_dir: str, nq: int = EVAL_NQ, k: int = EVAL_K,
                          hit_tab["alpha_pct"].to_pylist(),
                          hit_tab["neighbor_id"].to_pylist()):
         by_doc.setdefault(int(nid), []).append((int(q), int(a)))
-    ref = ray.put((by_doc, q_toks))
+    ref = ray.put(by_doc)  # q_toks ships separately (judge-only)
 
     def attach(b: pa.Table) -> pa.Table:
-        bd, _ = ray.get(ref)
+        bd = ray.get(ref)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         keep = np.array([int(i) in bd for i in ids], dtype=bool)
         b = b.filter(pa.array(keep))

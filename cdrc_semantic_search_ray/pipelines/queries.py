@@ -1828,11 +1828,17 @@ FROM (
 
 def _parquet_col_max(path: str, col: str) -> int:
     """Column max from parquet ROW-GROUP STATISTICS — a metadata-only read
-    (no data pages touched; at 100 TB this is a footer scan, not a job)."""
+    (no data pages touched; at 100 TB this is a footer scan, not a job).
+    Files written with statistics disabled fall back to a single-column
+    scan (clear behavior instead of an AttributeError on stats=None)."""
     f = pq.ParquetFile(path)
     ci = f.schema_arrow.names.index(col)
-    return max(f.metadata.row_group(rg).column(ci).statistics.max
-               for rg in range(f.metadata.num_row_groups))
+    stats = [f.metadata.row_group(rg).column(ci).statistics
+             for rg in range(f.metadata.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        return max(s.max for s in stats)
+    import pyarrow.compute as _pc
+    return _pc.max(pq.read_table(path, columns=[col])[col]).as_py()
 
 
 def q61_incremental_dedup(sf_dir: str):

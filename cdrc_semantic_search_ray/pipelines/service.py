@@ -71,7 +71,11 @@ class RetrievalSession:
 
         self.top_k = top_k
         self.alpha = alpha
-        self._sessions: dict[str, dict] = {}  # query_mapping analogue
+        # query_mapping analogue. Bounded LRU (insertion-evict): a
+        # detached serving actor lives for days — unbounded per-request
+        # retention is a linear heap leak (round-4 review finding)
+        self._sessions: dict[str, dict] = {}
+        self._max_sessions = 256
 
         texts = docs["text"].combine_chunks()
         toks = pc.split_pattern_regex(
@@ -125,7 +129,7 @@ class RetrievalSession:
             alpha: float | None = None) -> dict:
         from ..functions.embed import embed_texts
 
-        top_k = top_k or self.top_k
+        top_k = self.top_k if top_k is None else top_k
         alpha = self.alpha if alpha is None else alpha
         q_tokens = sorted(set(query.lower().split()))
         qv = embed_texts([query], dim=self.embed_dim)[0].astype(np.float64)
@@ -154,6 +158,8 @@ class RetrievalSession:
             for d in top
         ]
         results_id = str(uuid.uuid4())
+        while len(self._sessions) >= self._max_sessions:
+            self._sessions.pop(next(iter(self._sessions)))  # oldest first
         self._sessions[results_id] = {
             "query": query, "alpha": alpha, "q_tokens": q_tokens,
             "results": results,
@@ -209,11 +215,17 @@ def serve(sf_dir: str, name: str = "cdrc_retrieval", **kwargs):
     actor mailbox, the Ray-native request queue."""
     import ray
 
+    try:  # fast path: the actor exists — skip the corpus read entirely
+        return ray.get_actor(name)
+    except ValueError:
+        pass
     actor_cls = ray.remote(num_cpus=1)(RetrievalSession)
     import pyarrow.parquet as pq
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang", "source"])
+    # get_if_exists also covers the create race (two drivers arriving
+    # between the get_actor probe and here)
     return actor_cls.options(name=name, get_if_exists=True,
                              lifetime="detached").remote(docs, **kwargs)
 

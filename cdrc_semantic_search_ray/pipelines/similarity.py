@@ -372,6 +372,19 @@ def hybrid_topk(sf_dir: str, nq: int = 5, k: int = 3,
     return map_key_blocks(partials, ["query_id", "alpha_pct"], merge)
 
 
+def _quantize_rows(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The ONE int8 quantization kernel (shared by :func:`quantize_int8`
+    and :func:`topk_quantized` — the scale-cancellation story requires
+    both paths bit-identical): per-row amax (floored at 1e-30), the
+    oracle's operation order ((127·x)/amax, ONE division), round half
+    away from zero (duckdb round(); np.round is banker's). Returns
+    (q int64 matrix, amax)."""
+    amax = np.maximum(np.abs(m).max(axis=1) if m.size
+                      else np.zeros(m.shape[0]), 1e-30)
+    r = (127.0 * m) / amax[:, None]
+    return np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int64), amax
+
+
 def quantize_int8(embeddings, id_col: str = "vec_id",
                   col: str = "embedding"):
     """Per-vector symmetric int8 quantization (the ANN memory scale path:
@@ -387,13 +400,7 @@ def quantize_int8(embeddings, id_col: str = "vec_id",
 
     def f(batch: pa.Table) -> pa.Table:
         m = list_matrix(batch, col, np.float64)
-        amax = np.maximum(np.abs(m).max(axis=1) if m.size
-                          else np.zeros(len(batch)), 1e-30)
-        # mirror the oracle's operation order: (127·x)/amax, ONE division,
-        # then round half away from zero (duckdb round(); np.round is
-        # banker's — the established copysign/floor pattern)
-        r = (127.0 * m) / amax[:, None]
-        q = np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int64)
+        q, amax = _quantize_rows(m)
         s = 1e6 * amax / 127.0
         return pa.table({
             id_col: batch[id_col].combine_chunks(),
@@ -421,10 +428,7 @@ def topk_quantized(embeddings, query_ids: list[int], k: int = 5):
     _check_query_count(query_ids)
 
     def _q(m: np.ndarray) -> np.ndarray:
-        amax = np.maximum(np.abs(m).max(axis=1) if m.size
-                          else np.zeros(m.shape[0]), 1e-30)
-        r = (127.0 * m) / amax[:, None]
-        return np.copysign(np.floor(np.abs(r) + 0.5), r).astype(np.int8)
+        return _quantize_rows(m)[0].astype(np.int8)
 
     qtab = embeddings.map_batches(
         lambda t: t.filter(pc.is_in(t["vec_id"],

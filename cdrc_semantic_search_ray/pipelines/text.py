@@ -160,6 +160,48 @@ def redact_terms(docs, terms: tuple[str, ...] = REDACT_TERMS,
     return docs.map_batches(_redact, batch_format="pyarrow")
 
 
+def _pack_count_stage(docs, shard_col: str, keep_text: bool):
+    """Shared token-count map stage for the packing family (the RE2
+    ``\\S+`` kernel token_counts/oracles pin)."""
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], r"\S+")
+        cols = {
+            "doc_id": batch["doc_id"].combine_chunks(),
+            shard_col: batch[shard_col].combine_chunks(),
+            "n_tokens": (n.combine_chunks()
+                         if isinstance(n, pa.ChunkedArray) else n)
+            .cast(pa.int64()),
+        }
+        if keep_text:
+            cols["text"] = batch["text"].combine_chunks()
+        return pa.table(cols)
+
+    return docs.map_batches(_count, batch_format="pyarrow")
+
+
+def _pack_prefix(block: pa.Table, shard_col: str):
+    """Shared pack-assignment kernel: sort the key block by (shard,
+    doc_id), segmented-cumsum token counts per shard, return the sorted
+    table, per-row token counts, the EXCLUSIVE prefix, and the shard run
+    starts. The ONE definition of the packing arithmetic — q60's
+    assignment and q66's materialization must never diverge."""
+    import numpy as np
+
+    from ..stages.keyblocks import run_starts
+
+    n = len(block)
+    b = block.sort_by([(shard_col, "ascending"), ("doc_id", "ascending")])
+    v = b["n_tokens"].combine_chunks().to_numpy()
+    starts = run_starts(b, [shard_col])
+    sizes = np.diff(np.append(starts, n))
+    cs = np.cumsum(v)
+    seg_offset = np.concatenate(([0], cs[starts[1:] - 1])) \
+        if len(starts) > 1 else np.zeros(1, dtype=np.int64)
+    excl = cs - np.repeat(seg_offset, sizes) - v  # exclusive prefix
+    return b, v, excl, starts
+
+
 def sequence_packing(docs, budget: int = 256, shard_col: str = "source"):
     """Training-sequence packing: assign each document a (pack_id,
     seq_offset) inside its shard so consecutive docs fill fixed
@@ -174,21 +216,9 @@ def sequence_packing(docs, budget: int = 256, shard_col: str = "source"):
     (q52's kernel shape); no global scan, embarrassingly parallel across
     shards at 100 TB. Token counts use the same RE2 ``\\S+`` kernel as
     token_counts (oracle parity)."""
-    import numpy as np
+    from ..stages.keyblocks import map_key_blocks
 
-    from ..stages.keyblocks import map_key_blocks, run_starts
-
-    def _count(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch["text"], r"\S+")
-        return pa.table({
-            "doc_id": batch["doc_id"].combine_chunks(),
-            shard_col: batch[shard_col].combine_chunks(),
-            "n_tokens": (n.combine_chunks()
-                         if isinstance(n, pa.ChunkedArray) else n)
-            .cast(pa.int64()),
-        })
-
-    counted = docs.map_batches(_count, batch_format="pyarrow")
+    counted = _pack_count_stage(docs, shard_col, keep_text=False)
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       shard_col: pa.array([], pa.string()),
                       "n_tokens": pa.array([], pa.int64()),
@@ -196,18 +226,9 @@ def sequence_packing(docs, budget: int = 256, shard_col: str = "source"):
                       "seq_offset": pa.array([], pa.int64())})
 
     def pack(block: pa.Table) -> pa.Table:
-        n = len(block)
-        if n == 0:
+        if len(block) == 0:
             return empty
-        b = block.sort_by([(shard_col, "ascending"),
-                           ("doc_id", "ascending")])
-        v = b["n_tokens"].combine_chunks().to_numpy()
-        starts = run_starts(b, [shard_col])
-        sizes = np.diff(np.append(starts, n))
-        cs = np.cumsum(v)
-        seg_offset = np.concatenate(([0], cs[starts[1:] - 1])) \
-            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
-        excl = cs - np.repeat(seg_offset, sizes) - v  # exclusive prefix
+        b, v, excl, _ = _pack_prefix(block, shard_col)
         return pa.table({
             "doc_id": b["doc_id"].combine_chunks(),
             shard_col: b[shard_col].combine_chunks(),
@@ -310,20 +331,9 @@ def pack_sequences(docs, budget: int = 256, shard_col: str = "source",
     packed_text)."""
     import numpy as np
 
-    from ..stages.keyblocks import map_key_blocks, run_starts
+    from ..stages.keyblocks import map_key_blocks
 
-    def _count(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch["text"], r"\S+")
-        return pa.table({
-            "doc_id": batch["doc_id"].combine_chunks(),
-            shard_col: batch[shard_col].combine_chunks(),
-            "text": batch["text"].combine_chunks(),
-            "n_tokens": (n.combine_chunks()
-                         if isinstance(n, pa.ChunkedArray) else n)
-            .cast(pa.int64()),
-        })
-
-    counted = docs.map_batches(_count, batch_format="pyarrow")
+    counted = _pack_count_stage(docs, shard_col, keep_text=True)
     empty = pa.table({shard_col: pa.array([], pa.string()),
                       "pack_id": pa.array([], pa.int64()),
                       "n_docs": pa.array([], pa.int64()),
@@ -334,15 +344,7 @@ def pack_sequences(docs, budget: int = 256, shard_col: str = "source",
         n = len(block)
         if n == 0:
             return empty
-        b = block.sort_by([(shard_col, "ascending"),
-                           ("doc_id", "ascending")])
-        v = b["n_tokens"].combine_chunks().to_numpy()
-        starts = run_starts(b, [shard_col])
-        sizes = np.diff(np.append(starts, n))
-        cs = np.cumsum(v)
-        seg_offset = np.concatenate(([0], cs[starts[1:] - 1])) \
-            if len(starts) > 1 else np.zeros(1, dtype=np.int64)
-        excl = cs - np.repeat(seg_offset, sizes) - v
+        b, v, excl, starts = _pack_prefix(block, shard_col)
         pack_id = excl // budget
         # pack boundary = shard boundary OR pack_id change
         new = np.ones(n, dtype=bool)

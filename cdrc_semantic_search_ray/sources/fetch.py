@@ -119,18 +119,21 @@ class FetcherActor:
         # round-trip; a real deployment stores the live session here
         self._token = hashlib.sha256(secret.encode()).hexdigest()
         self._keep_payload = keep_payload
-        self._seen_flaky: set[int] = set()  # injected-failure bookkeeping
 
     def _get(self, resource_id: int, uri: str) -> tuple[bytes, int]:
-        """One resource with bounded retry. Returns (payload, attempts)."""
+        """One resource with bounded retry. Returns (payload, attempts).
+
+        The injected failure is a pure function of (resource_id, attempt)
+        — NOT actor state — so a Ray lineage re-execution of the task on
+        a warm actor reproduces the identical n_attempts (per-actor
+        bookkeeping would skip the injection on re-run and flip the
+        oracle-checked column nondeterministically)."""
         if not self._token:
             raise AuthError("no session token")  # non-retryable class
         last: Exception | None = None
         for attempt in range(1, MAX_ATTEMPTS + 1):
             try:
-                if (resource_id % FLAKY_MOD == 0
-                        and resource_id not in self._seen_flaky):
-                    self._seen_flaky.add(resource_id)
+                if attempt == 1 and resource_id % FLAKY_MOD == 0:
                     raise TransientFetchError(f"injected 5xx for {uri}")
                 with open(uri, "rb") as f:
                     return f.read(), attempt

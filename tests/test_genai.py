@@ -18,23 +18,16 @@ import pytest
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _value_hash(df: pd.DataFrame) -> str:
-    df = df[sorted(df.columns)]
-    rows = sorted(tuple(repr(v) for v in row)
-                  for row in df.itertuples(index=False))
-    h = hashlib.md5()
-    for r in rows:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
+def _value_hash(df) -> str:
+    from conftest import driver_value_hash
+
+    return driver_value_hash(df)
 
 
-def _oracle(sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF_DIR}/{t}.parquet')")
-    return con.sql(sql).df()
+def _oracle(sql):
+    from conftest import duckdb_oracle
+
+    return duckdb_oracle(sql, SF_DIR)
 
 
 @pytest.mark.parametrize("name", ["q55_response_split",

@@ -82,16 +82,10 @@ def test_every_registered_query_has_evidence():
         assert name in ORACLE_SQL or name in rows_only_by_design, name
 
 
-def _value_hash(df: pd.DataFrame) -> str:
-    # the driver's compare: sort columns by name, hash sorted row reprs
-    df = df[sorted(df.columns)]
-    rows = sorted(tuple(repr(v) for v in row)
-                  for row in df.itertuples(index=False))
-    h = hashlib.md5()
-    for r in rows:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
+def _value_hash(df) -> str:
+    from conftest import driver_value_hash
+
+    return driver_value_hash(df)
 
 
 def test_q41_broadcast_matches_join_path(ray_session):
@@ -121,15 +115,12 @@ def test_q41_broadcast_matches_join_path(ray_session):
                                   "q45_read_json_catalogue",
                                   "q47_sliding_window"])
 def test_rotated_oracle_queries(ray_session, name):
+    from conftest import duckdb_oracle
+
     from cdrc_semantic_search_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     got = QUERIES[name](SF_DIR).to_pandas()
-    con = duckdb.connect()
-    for t in ("documents", "embeddings", "orders", "lineitem", "events",
-              "region", "nation", "customer", "supplier", "part"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF_DIR}/{t}.parquet')")
-    want = con.sql(ORACLE_SQL[name]).df()
+    want = duckdb_oracle(ORACLE_SQL[name], SF_DIR)
     assert len(got) == len(want)
     assert sorted(got.columns) == sorted(want.columns)
     assert _value_hash(got) == _value_hash(want)
