@@ -263,11 +263,19 @@ def run_scaling() -> dict:
         best_his.append(r_hi)
         effs.append((r_hi["turns_per_sec"] / r_lo["turns_per_sec"])
                     / (hi / lo))
+    # Sentinel BOTH legs (round-4 finding: a lo-only sentinel missed a
+    # trial whose lo legs reproduced perfectly while its hi legs ran
+    # 15-25 % below the demonstrated ceiling under ambient load — hi-leg
+    # degradation is the one that deflates the efficiency ratio).
     sentinel = run(lo, "sentinel_lo")
     raws.append(sentinel)
+    sentinel_hi = run(hi, "sentinel_hi")
+    raws.append(sentinel_hi)
 
     med_lo = statistics.median(r["turns_per_sec"] for r in best_los)
+    med_hi_tp = statistics.median(r["turns_per_sec"] for r in best_his)
     drift = abs(sentinel["turns_per_sec"] - med_lo) / med_lo
+    drift_hi = abs(sentinel_hi["turns_per_sec"] - med_hi_tp) / med_hi_tp
     eff = statistics.median(effs)
 
     result = {
@@ -281,10 +289,10 @@ def run_scaling() -> dict:
         "efficiencies": [round(e, 3) for e in effs],
         "eff_spread": [round(min(effs), 3), round(max(effs), 3)],
         "turns_per_sec_lo": med_lo,
-        "turns_per_sec_hi": statistics.median(
-            r["turns_per_sec"] for r in best_his),
+        "turns_per_sec_hi": med_hi_tp,
         "sentinel_lo_drift": round(drift, 3),
-        "contended": drift > drift_tol,
+        "sentinel_hi_drift": round(drift_hi, 3),
+        "contended": drift > drift_tol or drift_hi > drift_tol,
         "scaling_efficiency": round(eff, 3),
         "raw_runs": raws,
     }
