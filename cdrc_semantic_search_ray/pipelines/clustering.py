@@ -1,0 +1,391 @@
+"""Distributed clustering + graph analytics for training-data curation.
+
+Three operators a 100-TB curation pipeline needs beyond the reference's
+retrieval core (the reference holds ONE static Pinecone index,
+/root/reference/src/datastore.py:116-120 — it never clusters or ranks its
+corpus):
+
+- :func:`kmeans` — spherical k-means over an embedding column.  Lloyd's
+  iterations as Ray Data passes: centroids broadcast once per iteration
+  (``ray.put``), assignment is one exact integer matmul per batch, the
+  update is a two-level combiner (per-batch partial sums → coalesced
+  per-block merge → ≤ combine_blocks×k driver rows).  The corpus NEVER
+  shuffles.
+- :func:`semantic_dedup` — SemDeDup-style pruning (Abbas et al. 2023,
+  arXiv:2303.09540): cluster, then drop members too close to the cluster
+  exemplar.  The exemplar variant is O(|cluster|·d) — one matvec per
+  cluster — not the O(|cluster|²) pairwise matrix, so giant clusters
+  degrade linearly.
+- :func:`pagerank` — power iteration over an edge list (weighted, with
+  dangling-mass redistribution), for ranking KG entities by centrality.
+  All arithmetic is exact int64 fixed-point, so results are bit-identical
+  at any parallelism.
+
+Determinism discipline (same contract as the rest of the engine — results
+must not depend on batch/partition boundaries or ``num_cpus``):
+
+- vectors are L2-normalized per row (row-local ⇒ boundary-independent) and
+  quantized to e6 fixed-point int64.
+- similarity = dot of two e6 integer vectors, computed in float64: every
+  partial product (≤1e12) and running sum (≤ dim·1e12 < 2^53 for dim up to
+  ~9000) is an exactly-representable integer, so ANY summation order gives
+  the identical exact result and argmax ties break on the lowest index.
+- centroid updates sum int64 components (associative) and re-quantize on
+  the driver; PageRank uses pure integer floor arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.arrays import fixed_binary_to_matrix, list_matrix, \
+    matrix_to_fixed_binary
+
+# golden-ratio odd multiplier (splitmix64 constant) — invertible mix of the
+# id space for the seed pick; same family as functions/hashing._MIX
+_SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SIGN_FLIP = np.uint64(1 << 63)  # order-preserving uint64 → int64 embedding
+
+MAX_K = 65_536  # centroids are broadcast + driver-held: k must stay small
+
+
+def _rows_matrix(rows: list[dict], col: str) -> np.ndarray:
+    """(N, D) int64 matrix from driver-collected rows carrying raw bytes.
+    Driver-side only, on BOUNDED row sets (seed picks / combiner partials)."""
+    if not rows:
+        return np.empty((0, 0), dtype=np.int64)
+    return np.frombuffer(b"".join(r[col] for r in rows),
+                         dtype=np.int64).reshape(len(rows), -1)
+
+
+def _encode(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    """(id, unit-normalized vector as e6 fixed-point int64 binary)."""
+    m = list_matrix(batch, vec_col, np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    x = 1e6 * m
+    v_e6 = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+    return pa.table({"id": batch[id_col].combine_chunks().cast(pa.int64()),
+                     "v_e6": matrix_to_fixed_binary(v_e6)})
+
+
+def _seed_pick(enc, k: int) -> np.ndarray:
+    """k deterministic pseudo-random seed vectors: the k ids with the
+    smallest multiplicative-mix value (spread across the id space, stable
+    under any partitioning).  Per-batch partial top-k; the driver merges
+    ≤ k rows per block — bounded by k × num_blocks, never by the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().to_numpy()
+        mix = ids.astype(np.uint64) * _SEED_MIX
+        order = np.lexsort((ids, mix))[:k]
+        return pa.table({
+            # sign-flip embeds uint64 order into int64 (Arrow-storable)
+            "mixkey": pa.array((mix[order] ^ _SIGN_FLIP).astype(np.int64)),
+            "id": pa.array(ids[order]),
+            "v_e6": batch["v_e6"].combine_chunks().take(pa.array(order)),
+        })
+
+    rows = enc.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (r["mixkey"], r["id"]))
+    return _rows_matrix(rows[:k], "v_e6")
+
+
+def _assign(v: np.ndarray, cm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """argmax-cosine assignment on e6 integer vectors.  float64 matmul of
+    integer-valued operands is EXACT here (see module docstring), so the
+    argmax (ties → lowest cluster) is partition-order-proof."""
+    sims = v.astype(np.float64) @ cm.astype(np.float64).T  # (B, k) exact ints
+    a = np.argmax(sims, axis=1)
+    return a, sims[np.arange(len(a)), a]
+
+
+def _e6_of_e12(x: np.ndarray) -> np.ndarray:
+    """exact-e12 similarity → e6 fixed-point (half away from zero)."""
+    s = x / 1e12  # exact int / exact power of 10 → identical everywhere
+    return np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s).astype(np.int64)
+
+
+def kmeans(embeddings, k: int = 8, iters: int = 5, id_col: str = "vec_id",
+           vec_col: str = "embedding", combine_blocks: int = 32):
+    """Spherical k-means; returns ``(assignments Dataset, centroids_e6)``.
+
+    assignments: ``(id, cluster, sim_e6, v_e6)`` — cosine to the final
+    centroid (e6 fixed-point) plus the encoded vector (for downstream
+    consumers like :func:`semantic_dedup`; project it away otherwise).
+    centroids_e6: ``(k, dim)`` int64 (unit vectors × 1e6).
+
+    Scale shape: the encoded projection (id + quantized vector — much
+    smaller than the source table) is materialized ONCE into the object
+    store (spills under pressure) because Lloyd's re-reads it every
+    iteration; per iteration the only driver-bound data is
+    ``≤ combine_blocks × k`` partial-sum rows of ``dim×8`` bytes.
+    """
+    import ray
+
+    if not 0 < k <= MAX_K:
+        raise ValueError(f"k={k} outside (0, {MAX_K}]: centroids broadcast")
+    enc = embeddings.map_batches(
+        lambda b: _encode(b, id_col, vec_col),
+        batch_format="pyarrow").materialize()
+    cm = _seed_pick(enc, k)
+    if len(cm) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(cm)}")
+    dim = cm.shape[1]
+
+    def make_partial(ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cmat = ray.get(ref)
+            v = fixed_binary_to_matrix(batch["v_e6"], np.int64)
+            a, _ = _assign(v, cmat)
+            uniq, codes = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(uniq), dim), dtype=np.int64)
+            np.add.at(sums, codes, v)
+            cnts = np.bincount(codes).astype(np.int64)
+            return pa.table({"cluster": pa.array(uniq.astype(np.int64)),
+                             "n": pa.array(cnts),
+                             "s_e6": matrix_to_fixed_binary(sums)})
+        return partial
+
+    def combine(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return block
+        cl = block["cluster"].combine_chunks().to_numpy()
+        s = fixed_binary_to_matrix(block["s_e6"], np.int64)
+        nn = block["n"].combine_chunks().to_numpy()
+        uniq, codes = np.unique(cl, return_inverse=True)
+        sums = np.zeros((len(uniq), s.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, s)
+        cnts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnts, codes, nn)
+        return pa.table({"cluster": pa.array(uniq),
+                         "n": pa.array(cnts),
+                         "s_e6": matrix_to_fixed_binary(sums)})
+
+    for _ in range(iters):
+        ref = ray.put(cm)
+        # two-level combine: ≤k rows per batch → coalesce (no key exchange)
+        # → ≤k rows per merged block → bounded driver collect
+        rows = (enc.map_batches(make_partial(ref), batch_format="pyarrow")
+                .repartition(combine_blocks)
+                .map_batches(combine, batch_size=None,
+                             batch_format="pyarrow").take_all())
+        s = _rows_matrix(rows, "s_e6")
+        cl = np.array([r["cluster"] for r in rows], dtype=np.int64)
+        nn = np.array([r["n"] for r in rows], dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, cl, s)
+        cnts = np.zeros(k, dtype=np.int64)
+        np.add.at(cnts, cl, nn)
+        new = cm.astype(np.float64).copy()  # empty cluster → keep centroid
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz, None]  # exact-int / int, driver-side
+        new = new / np.maximum(np.linalg.norm(new, axis=1, keepdims=True),
+                               1e-12) * 1e6
+        cm = np.copysign(np.floor(np.abs(new) + 0.5), new).astype(np.int64)
+
+    fref = ray.put(cm)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cmat = ray.get(fref)
+        v = fixed_binary_to_matrix(batch["v_e6"], np.int64)
+        a, best = _assign(v, cmat)
+        return pa.table({
+            "id": batch["id"].combine_chunks(),
+            "cluster": pa.array(a.astype(np.int64)),
+            "sim_e6": pa.array(_e6_of_e12(best)),
+            "v_e6": batch["v_e6"].combine_chunks(),
+        })
+
+    return enc.map_batches(finalize, batch_format="pyarrow"), cm
+
+
+def semantic_dedup(embeddings, k: int = 8, iters: int = 5,
+                   threshold_e6: int = 950_000, id_col: str = "vec_id",
+                   vec_col: str = "embedding", pair_chunk: int = 2048):
+    """SemDeDup pruning (Abbas et al. 2023): within each cluster, rank
+    members by closeness to the centroid (ties → lowest id) and PRUNE a
+    member iff some higher-ranked member sits within ``threshold_e6``
+    cosine of it.  The top-ranked member (the exemplar) always survives;
+    an exact-duplicate family keeps exactly its best-ranked copy.
+
+    Output: ``(id, cluster, exemplar_id, max_prior_sim_e6, kept)`` —
+    ``max_prior_sim_e6`` is the similarity to the closest higher-ranked
+    member (the audit trail of WHY a row was pruned; -1e6 sentinel for the
+    exemplar, which has no prior), filter ``kept`` for the surviving
+    corpus.
+
+    Cost: one cluster-key co-location shuffle, then the pairwise pass per
+    cluster in row chunks of ``pair_chunk`` — O(c²·d) time but
+    O(pair_chunk·c) memory.  The quadratic term is exactly what the
+    k-means pre-pass bounds: c ≈ N/k, so pick k proportional to N (the
+    SemDeDup paper's own scaling argument).
+    """
+    from ..stages.keyblocks import map_hash_blocks, run_starts
+
+    assigned, _ = kmeans(embeddings, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col)
+    out_schema = pa.schema([
+        ("id", pa.int64()), ("cluster", pa.int64()),
+        ("exemplar_id", pa.int64()), ("max_prior_sim_e6", pa.int64()),
+        ("kept", pa.bool_()),
+    ])
+
+    def per_cluster(block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return out_schema.empty_table()
+        b = block.sort_by([("cluster", "ascending"), ("sim_e6", "descending"),
+                           ("id", "ascending")])
+        ids = b["id"].combine_chunks().to_numpy()
+        cl = b["cluster"].combine_chunks().to_numpy()
+        v = fixed_binary_to_matrix(b["v_e6"], np.int64).astype(np.float64)
+        n = len(b)
+        starts = run_starts(b, ["cluster"])
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        ex_idx = np.repeat(starts, sizes)  # exemplar = first row of each run
+        prior = np.full(n, -(10**12), dtype=np.float64)  # exemplar sentinel
+        for s, e in zip(starts, ends):  # clusters-in-block
+            for lo in range(s + 1, e, pair_chunk):  # chunked triangular pass
+                hi = min(lo + pair_chunk, e)
+                sims = v[lo:hi] @ v[s:hi].T  # exact ints (module docstring)
+                # member at row i compares against STRICTLY higher-ranked
+                # rows s..i-1 of its own cluster
+                mask = (np.arange(s, hi)[None, :]
+                        >= np.arange(lo, hi)[:, None])
+                sims[mask] = -np.inf
+                prior[lo:hi] = sims.max(axis=1)
+        sim6 = _e6_of_e12(np.where(np.isfinite(prior), prior, -(10**12)))
+        return pa.table({
+            "id": pa.array(ids),
+            "cluster": pa.array(cl),
+            "exemplar_id": pa.array(ids[ex_idx]),
+            "max_prior_sim_e6": pa.array(sim6),
+            "kept": pa.array(sim6 < threshold_e6),
+        }, schema=out_schema)
+
+    return map_hash_blocks(assigned, ["cluster"], per_cluster, num_blocks=32)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # rank mass fixed-point: total initial mass = PR_SCALE
+MAX_NODE_BROADCAST = 2_000_000
+
+
+def pagerank(edges, src: str = "subj", dst: str = "obj",
+             weight: str = "weight", iters: int = 10,
+             damp_num: int = 85, damp_den: int = 100,
+             node_broadcast_limit: int = MAX_NODE_BROADCAST):
+    """Weighted PageRank by power iteration; returns a Dataset of
+    ``(node, rank_fx)`` with ``rank_fx`` int64 e12 fixed-point (initial
+    total mass = 1e12), nodes sorted ascending.
+
+    Exact-integer semantics (bit-identical at any parallelism):
+    contribution of node i along edge e = ``rank_i * w_e // outw_i`` (floor
+    division; the sub-ULP mass lost to flooring is ≤ E/1e12 per iteration
+    and identical on every run).  Dangling mass (out-weight 0) and the
+    teleport term redistribute uniformly with the same floor arithmetic.
+
+    Scale shape: the edge list is the big side; endpoints are resolved to
+    dense node indices ONCE and the indexed edges materialized (object
+    store, spills).  The rank vector is node-sized: at or below
+    ``node_broadcast_limit`` nodes it broadcasts via ``ray.put`` and each
+    iteration is one edge scan emitting per-batch dst-partial sums
+    (non-zero entries only) collected to the driver.  Beyond the gate a
+    node-sized vector no longer fits one machine and the rank table must
+    stay a Dataset — each iteration becomes a bucketed ``hash_join`` (src)
+    + ``partial_groupby`` (dst), the same recipe as relational.hash_join;
+    that path raises here until a caller needs it (every in-repo graph —
+    KG entities — is dimension-sized, bounded by the entity catalogue).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyblocks import distinct_by
+
+    enc = edges.map_batches(
+        lambda b: pa.table({
+            "src": b[src].combine_chunks().cast(pa.string()),
+            "dst": b[dst].combine_chunks().cast(pa.string()),
+            "w": b[weight].combine_chunks().cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+    def ends(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            b["src"].combine_chunks().chunks
+            + b["dst"].combine_chunks().chunks
+            if isinstance(b["src"].combine_chunks(), pa.ChunkedArray)
+            else [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
+
+    nodes_ds = distinct_by(enc.map_batches(ends, batch_format="pyarrow"),
+                           ["node"])
+    n = nodes_ds.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "rank_fx": pa.array([], pa.int64())}))
+    if n > node_broadcast_limit:
+        raise NotImplementedError(
+            f"{n} nodes exceeds the broadcast gate ({node_broadcast_limit});"
+            " needs the Dataset-resident rank path (bucketed hash_join per"
+            " iteration — see docstring)")
+    node_arr = pa.array(sorted(r["node"] for r in nodes_ds.take_all()))
+    nref = ray.put(node_arr)
+
+    # per-src out-weight: per-batch partial sums → driver merge (node-sized,
+    # already bounded by the gate above)
+    def ow_partial(b: pa.Table) -> pa.Table:
+        na = ray.get(nref)
+        si = pc.index_in(b["src"], value_set=na).cast(pa.int64()).to_numpy()
+        w = b["w"].combine_chunks().to_numpy()
+        sums = np.zeros(len(na), dtype=np.int64)
+        np.add.at(sums, si, w)
+        nzi = np.nonzero(sums)[0]
+        return pa.table({"si": pa.array(nzi.astype(np.int64)),
+                         "s": pa.array(sums[nzi])})
+
+    outw = np.zeros(n, dtype=np.int64)
+    for r in enc.map_batches(ow_partial, batch_format="pyarrow").take_all():
+        outw[r["si"]] += r["s"]
+
+    # resolve edge endpoints to dense node indices once, materialized
+    def to_idx(b: pa.Table) -> pa.Table:
+        na = ray.get(nref)
+        return pa.table({
+            "si": pc.index_in(b["src"], value_set=na).cast(pa.int64()),
+            "di": pc.index_in(b["dst"], value_set=na).cast(pa.int64()),
+            "w": b["w"].combine_chunks(),
+        })
+
+    eidx = enc.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    rank = np.full(n, PR_SCALE // n, dtype=np.int64)
+    for _ in range(iters):
+        rref = ray.put((rank, outw))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            rk, ow = ray.get(rref)
+            si = b["si"].combine_chunks().to_numpy()
+            di = b["di"].combine_chunks().to_numpy()
+            w = b["w"].combine_chunks().to_numpy()
+            c = rk[si] * w // np.maximum(ow[si], 1)  # exact int floor
+            sums = np.zeros(len(rk), dtype=np.int64)
+            np.add.at(sums, di, c)
+            nzi = np.nonzero(sums)[0]
+            return pa.table({"di": pa.array(nzi.astype(np.int64)),
+                             "s": pa.array(sums[nzi])})
+
+        in_sum = np.zeros(n, dtype=np.int64)
+        for r in eidx.map_batches(contrib,
+                                  batch_format="pyarrow").take_all():
+            in_sum[r["di"]] += r["s"]
+        dangling = int(rank[outw == 0].sum())
+        teleport = ((damp_den - damp_num) * PR_SCALE) // (damp_den * n)
+        dshare = (damp_num * dangling) // (damp_den * n)
+        rank = teleport + dshare + (damp_num * in_sum) // damp_den
+
+    return rd.from_arrow(pa.table({
+        "node": node_arr, "rank_fx": pa.array(rank.astype(np.int64))}))

@@ -2058,6 +2058,123 @@ FROM q
 """
 
 
+def q67_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embedding column (cluster
+    curation primitive — pipelines/clustering.py): centroids broadcast per
+    Lloyd's iteration, assignment = one exact integer matmul per batch,
+    update = two-level combiner.  Exact fixed-point arithmetic makes the
+    result bit-identical at any parallelism (no SQL oracle — iterative;
+    tests/test_clustering.py pins parity vs a pure-numpy reference and
+    partitioning invariance)."""
+    from .clustering import kmeans
+
+    embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    asg, _ = kmeans(embs, k=8, iters=4)
+    return asg.map_batches(
+        lambda b: pa.table({"vec_id": b["id"].combine_chunks(),
+                            "cluster": b["cluster"].combine_chunks(),
+                            "sim_e6": b["sim_e6"].combine_chunks()}),
+        batch_format="pyarrow")
+
+
+def q68_semantic_dedup(sf_dir: str):
+    """SemDeDup pruning (cluster, rank by closeness to centroid, prune any
+    member within threshold of a higher-ranked one; Abbas et al. 2023).
+    The chunked triangular pairwise pass runs per cluster — the k-means
+    pre-pass is what bounds the quadratic term (no SQL oracle — built on
+    iterative k-means; tests/test_clustering.py plants exact duplicates
+    and checks exactly one copy per family survives)."""
+    from .clustering import semantic_dedup
+
+    embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sd = semantic_dedup(embs, k=8, iters=4, threshold_e6=950_000)
+    return sd.map_batches(
+        lambda b: pa.table({"vec_id": b["id"].combine_chunks(),
+                            "cluster": b["cluster"].combine_chunks(),
+                            "exemplar_id": b["exemplar_id"].combine_chunks(),
+                            "max_prior_sim_e6":
+                                b["max_prior_sim_e6"].combine_chunks(),
+                            "kept": b["kept"].combine_chunks()}),
+        batch_format="pyarrow")
+
+
+def q69_pagerank_entities(sf_dir: str):
+    """Weighted PageRank over the knowledge-graph edge list built by the
+    flagship pipeline — ranks canonical entities by centrality (the
+    graph-analytics consumer the KG exists for).  Exact int64 fixed-point
+    power iteration ⇒ bit-identical at any parallelism (no SQL oracle —
+    iterative; tests/test_clustering.py pins parity vs a dense numpy
+    reference with the identical integer semantics)."""
+    from .clustering import pagerank
+
+    return pagerank(_kg_arts(sf_dir)["edges"], src="subj", dst="obj",
+                    weight="weight", iters=10)
+
+
+_Q70_T_DEN = 2  # temperature T = 2: rate = sqrt(n_min/n_g) — sqrt and the
+# one division are both IEEE correctly-rounded, so numpy float64 and DuckDB
+# DOUBLE produce the bit-identical rate (no knife-edge, unlike pow())
+
+
+def q70_temperature_resample(sf_dir: str):
+    """Temperature-based mixture resampling (training-data rebalancing):
+    down-sample each ``lang`` group so kept counts are proportional to
+    ``n_g^(1/T)`` (T=2) — the smallest group keeps everything, dominant
+    groups shrink toward balance.  Rates derive from exact group counts;
+    membership is the stable content-hash Bernoulli kernel of q42/q62
+    (md5 prefix under a per-group threshold), so the sample survives
+    reruns and resharding.  One combiner count pass (dimension-sized
+    collect, gated) + one map-filter — the documents never shuffle."""
+    import hashlib
+
+    ds = R.read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    counts = R.partial_groupby(
+        ds.map_batches(
+            lambda b: pa.table({"lang": b["lang"].combine_chunks(),
+                                "n": pa.array(
+                                    np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["lang"], [("n", "sum", "n")], merge_blocks=4).take_all()
+    if len(counts) > 1_000_000:
+        raise ValueError("lang cardinality exceeds the rate-broadcast "
+                         "design (group rates are driver-computed)")
+    n_by = {r["lang"]: int(r["n"]) for r in counts}
+    n_min = min(n_by.values())
+    # rate = sqrt(n_min/n) (correctly-rounded ops only — see _Q70_T_DEN);
+    # threshold = floor(rate·2^32) capped to 2^32−1, compared against the
+    # first 8 md5 hex digits (lexicographic == numeric for 8-digit hex)
+    thr = {s: format(min(int(np.floor(np.sqrt(np.float64(n_min)
+                                              / np.float64(n))
+                                      * 4294967296.0)), 4294967295), "08x")
+           for s, n in n_by.items()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:8] < thr[s]
+             for i, s in zip(ids, langs)])
+        return batch.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_SQL_Q70 = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+     m AS (SELECT min(n) AS nmin FROM c),
+     r AS (SELECT c.lang,
+                  printf('%08x', CAST(least(
+                      floor(sqrt(CAST(m.nmin AS DOUBLE)
+                                 / CAST(c.n AS DOUBLE)) * 4294967296.0),
+                      4294967295.0) AS BIGINT)) AS thr
+           FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -2164,6 +2281,14 @@ def kg_nodes(sf_dir: str):
 #                      dedup family keeps q17/q18/q19/q20/q22/q61 rows
 # (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
 # packing, incremental bloom dedup, stratified sampling — take their
+# Late-round-4 rotation for the clustering/graph additions q67-q70 (new
+# operators must not land in the blind spot); rotated out, each with FOUR
+# green driver rows (rounds 1-4):
+#   q33_param_sweep    R9 sweep shape generalized by q57_eval_sweep's
+#                      alpha-grid (stays inside)
+#   q34_csv_roundtrip  S8/S9 CSV read+write; kernel unchanged since r1
+#   q36_strip_html     M3 regex strip; kernel unchanged since r1
+#   q37_read_text_mining  S10 text-file reader; kernel unchanged since r1
 # horizon slots; every rotated-out entry is re-verified each session by
 # tests/test_registry.py's oracle sweep)
 # ---------------------------------------------------------------------------
@@ -2190,11 +2315,11 @@ QUERIES = {
     "q30_log_mining": q30_log_mining,
     "q31_json_props": q31_json_props,
     "q32_render_notes": q32_render_notes,
-    "q33_param_sweep": q33_param_sweep,
-    "q34_csv_roundtrip": q34_csv_roundtrip,
+    "q67_kmeans_clusters": q67_kmeans_clusters,
+    "q68_semantic_dedup": q68_semantic_dedup,
     "q35_hybrid_topk": q35_hybrid_topk,
-    "q36_strip_html": q36_strip_html,
-    "q37_read_text_mining": q37_read_text_mining,
+    "q69_pagerank_entities": q69_pagerank_entities,
+    "q70_temperature_resample": q70_temperature_resample,
     "q38_sessionize": q38_sessionize,
     "q39_quantiles": q39_quantiles,
     "q40_asof_join": q40_asof_join,
@@ -2242,6 +2367,10 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_triples": kg_triples,
     "q54_serving_session": q54_serving_session,
+    "q33_param_sweep": q33_param_sweep,
+    "q34_csv_roundtrip": q34_csv_roundtrip,
+    "q36_strip_html": q36_strip_html,
+    "q37_read_text_mining": q37_read_text_mining,
 }
 
 ORACLE_SQL = {
@@ -2300,4 +2429,5 @@ ORACLE_SQL = {
     "q64_quantize_embeddings": _SQL_Q64,
     "q65_repetition_quality": _SQL_Q65,
     "q66_pack_sequences": _SQL_Q66,
+    "q70_temperature_resample": _SQL_Q70,
 }

@@ -32,6 +32,8 @@ MUST_BE_INSIDE = {
     "q61_incremental_dedup", "q62_stratified_sample",
     "q63_decontaminate", "q64_quantize_embeddings",
     "q65_repetition_quality", "q66_pack_sequences",
+    "q67_kmeans_clusters", "q68_semantic_dedup",
+    "q69_pagerank_entities", "q70_temperature_resample",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -46,6 +48,9 @@ ROTATED_OUT = {
     "q42_deterministic_sample", "q45_read_json_catalogue",
     "q47_sliding_window", "kg_mentions", "kg_triples",
     "q54_serving_session",  # stateful per-request serving — pytest-only
+    # late-round-4 rotation for q67-q70 (each with FOUR green driver rows)
+    "q33_param_sweep", "q34_csv_roundtrip", "q36_strip_html",
+    "q37_read_text_mining",
 }
 
 
