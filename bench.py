@@ -126,7 +126,9 @@ def bench_queries() -> tuple[dict[str, float], dict]:
              "q56_generate_answers", "q57_eval_sweep",
              "q59_redact_terms", "q60_sequence_packing",
              "q61_incremental_dedup", "q62_stratified_sample",
-             "q63_decontaminate"]
+             "q63_decontaminate", "q67_kmeans_clusters",
+             "q68_semantic_dedup", "q69_pagerank_entities",
+             "q70_temperature_resample"]
     raw: list[dict] = []
     best: dict[str, float] = {}
     for rep in range(BENCH_REPS):

@@ -296,11 +296,12 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
     ``node_broadcast_limit`` nodes it broadcasts via ``ray.put`` and each
     iteration is one edge scan emitting per-batch dst-partial sums
     (non-zero entries only) collected to the driver.  Beyond the gate a
-    node-sized vector no longer fits one machine and the rank table must
-    stay a Dataset — each iteration becomes a bucketed ``hash_join`` (src)
-    + ``partial_groupby`` (dst), the same recipe as relational.hash_join;
-    that path raises here until a caller needs it (every in-repo graph —
-    KG entities — is dimension-sized, bounded by the entity catalogue).
+    node-sized vector no longer fits one machine and the rank table stays
+    a Dataset — each iteration becomes a bucketed ``hash_join`` (src) +
+    ``partial_groupby`` (dst) + a left-outer join back onto the node
+    table (:func:`_pagerank_distributed`; parity-tested against this path
+    at gate 0).  Both paths share the integer semantics, so they produce
+    identical ranks.
     """
     import ray
     import ray.data as rd
@@ -328,10 +329,8 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
         return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
                                        "rank_fx": pa.array([], pa.int64())}))
     if n > node_broadcast_limit:
-        raise NotImplementedError(
-            f"{n} nodes exceeds the broadcast gate ({node_broadcast_limit});"
-            " needs the Dataset-resident rank path (bucketed hash_join per"
-            " iteration — see docstring)")
+        return _pagerank_distributed(enc, nodes_ds, n, iters,
+                                     damp_num, damp_den)
     node_arr = pa.array(sorted(r["node"] for r in nodes_ds.take_all()))
     nref = ray.put(node_arr)
 
@@ -389,3 +388,90 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
 
     return rd.from_arrow(pa.table({
         "node": node_arr, "rank_fx": pa.array(rank.astype(np.int64))}))
+
+
+def _pagerank_distributed(enc, nodes_ds, n: int, iters: int,
+                          damp_num: int, damp_den: int,
+                          num_buckets: int = 64):
+    """Dataset-resident PageRank (the above-gate path): the rank table is
+    never collected.  Per iteration: bucketed ``hash_join`` of the edge
+    list with the rank table on src → floor-div contributions →
+    ``partial_groupby`` sum by dst → left-outer join back onto the
+    (node, ow) table (missing in-sum ⇒ 0) → materialize the node-sized
+    result for the next iteration.  3 key shuffles per iteration, each
+    over node-/edge-sized tables — the edge table is re-scanned, never
+    re-shuffled on a changing key.  Identical integer arithmetic to the
+    broadcast path (parity-tested at gate 0)."""
+    from .relational import hash_join, partial_groupby
+
+    enc = enc.materialize()  # re-scanned every iteration (object store)
+    ow = partial_groupby(enc, ["src"], [("w", "sum", "ow")],
+                         merge_blocks=num_buckets // 2)
+    ow = ow.map_batches(
+        lambda b: pa.table({"node": b["src"].combine_chunks(),
+                            "ow": b["ow"].combine_chunks()}),
+        batch_format="pyarrow")
+    base = PR_SCALE // n
+
+    def init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"].combine_chunks(),
+            "ow": pc.coalesce(b["ow"], pa.scalar(0, pa.int64())),
+            "rank": pa.array(np.full(len(b), base, dtype=np.int64)),
+        })
+
+    ranks = hash_join(nodes_ds, ow, "node", "node",
+                      num_buckets=num_buckets, join_type="left outer"
+                      ).map_batches(init,
+                                    batch_format="pyarrow").materialize()
+    teleport = ((damp_den - damp_num) * PR_SCALE) // (damp_den * n)
+
+    def dangling_partial(b: pa.Table) -> pa.Table:
+        mask = pc.equal(b["ow"], 0)
+        s = pc.sum(pc.if_else(mask, b["rank"], pa.scalar(0, pa.int64())))
+        return pa.table({"d": pa.array([s.as_py() or 0], pa.int64())})
+
+    for _ in range(iters):
+        dangling = sum(
+            r["d"] for r in ranks.map_batches(
+                dangling_partial, batch_format="pyarrow").take_all())
+        dshare = (damp_num * dangling) // (damp_den * n)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            w = b["w"].combine_chunks().to_numpy()
+            rk = b["rank"].combine_chunks().to_numpy()
+            ow_ = b["ow"].combine_chunks().to_numpy()
+            return pa.table({
+                "dst": b["dst"].combine_chunks(),
+                "c": pa.array(rk * w // np.maximum(ow_, 1)),
+            })
+
+        joined = hash_join(enc, ranks, "src", "node",
+                           num_buckets=num_buckets, join_type="inner")
+        in_sums = partial_groupby(
+            joined.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], [("c", "sum", "s")], merge_blocks=num_buckets // 2)
+        in_sums = in_sums.map_batches(
+            lambda b: pa.table({"node": b["dst"].combine_chunks(),
+                                "s": b["s"].combine_chunks()}),
+            batch_format="pyarrow")
+
+        def update(b: pa.Table) -> pa.Table:
+            s = pc.coalesce(b["s"], pa.scalar(0, pa.int64())).combine_chunks()
+            s_np = s.to_numpy() if len(s) else np.empty(0, np.int64)
+            return pa.table({
+                "node": b["node"].combine_chunks(),
+                "ow": b["ow"].combine_chunks(),
+                "rank": pa.array(teleport + dshare
+                                 + (damp_num * s_np) // damp_den),
+            })
+
+        ranks = hash_join(ranks, in_sums, "node", "node",
+                          num_buckets=num_buckets, join_type="left outer"
+                          ).map_batches(update,
+                                        batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["node"].combine_chunks(),
+                            "rank_fx": b["rank"].combine_chunks()}),
+        batch_format="pyarrow")

@@ -208,12 +208,19 @@ def test_pagerank_partitioning_invariance_and_mass(ray_session):
     assert total >= C.PR_SCALE - 8 * (len(g1) + len(_EDGES)) * 2
 
 
-def test_pagerank_node_gate(ray_session):
+def test_pagerank_distributed_path_parity(ray_session):
+    """Gate-0 parity: forcing the Dataset-resident path (node gate 0 ⇒
+    every node count exceeds it) must reproduce the broadcast path's
+    ranks exactly — both run the identical integer arithmetic."""
     import ray.data as rd
 
-    ds = rd.from_items([{"subj": "a", "obj": "b", "weight": 1}])
-    with pytest.raises(NotImplementedError, match="broadcast gate"):
-        C.pagerank(ds, node_broadcast_limit=1)
+    items = [{"subj": s, "obj": o, "weight": w} for s, o, w in _EDGES]
+    bc = {r["node"]: r["rank_fx"]
+          for r in C.pagerank(rd.from_items(items), iters=6).take_all()}
+    dist = {r["node"]: r["rank_fx"]
+            for r in C.pagerank(rd.from_items(items), iters=6,
+                                node_broadcast_limit=0).take_all()}
+    assert dist == bc
 
 
 def test_pagerank_sink_dominates(ray_session):

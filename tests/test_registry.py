@@ -82,6 +82,10 @@ def test_every_registered_query_has_evidence():
         "q49_approx_distinct", "q50_approx_quantiles",
         "q53_approx_top_tokens", "kg_conversations", "kg_mentions",
         "kg_triples",
+        # iterative (no single-statement SQL): numpy-reference bit-exact
+        # parity + invariance pytests in tests/test_clustering.py
+        "q67_kmeans_clusters", "q68_semantic_dedup",
+        "q69_pagerank_entities",
     }
     for name in list(QUERIES)[:DRIVER_HORIZON]:
         assert name in ORACLE_SQL or name in rows_only_by_design, name
