@@ -2175,6 +2175,34 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
 """
 
 
+def q71_lm_quality(sf_dir: str, vocab_broadcast_limit: int = 2_000_000):
+    """Unigram-LM corpus-likelihood quality score per document (statistical
+    quality filter beside rule-based q26 and repetition-based q65): exact
+    integer floor arithmetic end-to-end — no log(), because transcendental
+    rounding parity across engines is not guaranteed while exact rationals
+    are (see pipelines/text.py lm_quality).  Vocabulary side is size-gated:
+    broadcast ``index_in`` scoring below the gate, one bucketed hash join
+    over exploded token rows above it (parity-tested at gate 0)."""
+    return T.lm_quality(
+        R.read_table(sf_dir, "documents", ["doc_id", "text"]),
+        vocab_broadcast_limit=vocab_broadcast_limit)
+
+
+_SQL_Q71 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+  FROM documents),
+n AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT count(*) AS nn FROM tok),
+per AS (SELECT tok.doc_id,
+               SUM((1000000 * n.c) // tot.nn) AS s,
+               count(*) AS m
+        FROM tok JOIN n USING (t), tot GROUP BY tok.doc_id)
+SELECT doc_id, CAST(s // m AS BIGINT) AS lm_score_e6 FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -2314,7 +2342,7 @@ QUERIES = {
     "q29_multimodal_features": q29_multimodal_features,
     "q30_log_mining": q30_log_mining,
     "q31_json_props": q31_json_props,
-    "q32_render_notes": q32_render_notes,
+    "q71_lm_quality": q71_lm_quality,
     "q67_kmeans_clusters": q67_kmeans_clusters,
     "q68_semantic_dedup": q68_semantic_dedup,
     "q35_hybrid_topk": q35_hybrid_topk,
@@ -2371,6 +2399,7 @@ QUERIES = {
     "q34_csv_roundtrip": q34_csv_roundtrip,
     "q36_strip_html": q36_strip_html,
     "q37_read_text_mining": q37_read_text_mining,
+    "q32_render_notes": q32_render_notes,
 }
 
 ORACLE_SQL = {
@@ -2430,4 +2459,5 @@ ORACLE_SQL = {
     "q65_repetition_quality": _SQL_Q65,
     "q66_pack_sequences": _SQL_Q66,
     "q70_temperature_resample": _SQL_Q70,
+    "q71_lm_quality": _SQL_Q71,
 }

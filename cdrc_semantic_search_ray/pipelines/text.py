@@ -367,3 +367,111 @@ def pack_sequences(docs, budget: int = 256, shard_col: str = "source",
         })
 
     return map_key_blocks(counted, [shard_col], pack, num_blocks=16)
+
+
+def lm_quality(docs, vocab_broadcast_limit: int = 2_000_000):
+    """Unigram-LM quality score per document (statistical quality filter —
+    the corpus-likelihood cousin of the rule-based ``quality_scores``):
+    score = mean over the doc's token instances of the corpus unigram
+    frequency, in EXACT e6 fixed-point —
+
+        per-token contribution = (1_000_000 · count(token)) // N_tokens
+        lm_score_e6            = sum(contributions) // n_tokens(doc)
+
+    All-integer floor arithmetic ⇒ partition-order-proof and mirrored
+    verbatim in the DuckDB oracle (no log(): correctly-rounded transcendental
+    parity across engines is NOT guaranteed, exact rationals are).
+
+    Two passes over the text: (1) corpus token counts via the combiner
+    groupby; (2) re-tokenize and score.  The vocabulary side is SIZE-GATED
+    (same recipe as q43's df table): at or below ``vocab_broadcast_limit``
+    distinct tokens it broadcasts via ``ray.put`` and scoring is one
+    vectorized ``index_in``+``take`` per batch — documents never shuffle;
+    an open vocabulary instead explodes (doc_id, token) rows through ONE
+    bucketed ``hash_join`` + a doc-key combiner groupby (parity-tested at
+    gate 0).  Tokenizer = RE2 ``\\s+`` on trimmed lowercase, the engine's
+    standard (identical to DuckDB ``string_split_regex``).
+    """
+    import numpy as np
+    import ray
+
+    from .relational import hash_join, partial_groupby
+
+    def _toks(texts):
+        t = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(texts)), r"\s+")
+        return t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = _toks(batch["text"])
+        lens = pc.list_value_length(toks).to_numpy()
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64),
+                                 lens))
+        return pa.table({"doc_id": batch["doc_id"].combine_chunks()
+                         .take(idx), "token": toks.flatten()})
+
+    counts = partial_groupby(
+        docs.map_batches(tok_rows, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "one", pa.array(np.ones(len(b), dtype=np.int64))),
+            batch_format="pyarrow"),
+        ["token"], [("one", "sum", "c")], merge_blocks=8).materialize()
+    n_total = int(counts.sum("c"))
+
+    if counts.count() <= vocab_broadcast_limit:
+        toks_l, cs_l = [], []
+        for b in counts.iter_batches(batch_format="pyarrow"):
+            toks_l.append(b["token"].combine_chunks())
+            cs_l.append(b["c"].combine_chunks())
+        vocab = pa.concat_arrays(toks_l)
+        contrib = pa.array(
+            (1_000_000 * np.concatenate(
+                [a.to_numpy() for a in cs_l])) // n_total)
+        ref = ray.put((vocab, contrib))
+
+        def score(batch: pa.Table) -> pa.Table:
+            v, con = ray.get(ref)
+            toks = _toks(batch["text"])
+            lens = pc.list_value_length(toks).to_numpy()
+            idx = pc.index_in(toks.flatten(), value_set=v)
+            per_tok = con.take(idx).to_numpy(zero_copy_only=False)
+            starts = np.zeros(len(batch), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(per_tok, starts) if len(per_tok) \
+                else np.zeros(len(batch), dtype=np.int64)
+            # reduceat repeats values for empty segments; every doc has ≥1
+            # token (split of "" yields [""]), so lens ≥ 1 always
+            return pa.table({
+                "doc_id": batch["doc_id"].combine_chunks(),
+                "lm_score_e6": pa.array(
+                    (sums // np.maximum(lens, 1)).astype(np.int64)),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # open vocabulary: ONE bucketed join of exploded token rows
+    rows = docs.map_batches(tok_rows, batch_format="pyarrow")
+    joined = hash_join(
+        rows, counts.map_batches(
+            lambda b: pa.table({"token_r": b["token"].combine_chunks(),
+                                "c": b["c"].combine_chunks()}),
+            batch_format="pyarrow"),
+        "token", "token_r", num_buckets=64, join_type="inner")
+
+    def contrib_rows(b: pa.Table) -> pa.Table:
+        c = b["c"].combine_chunks().to_numpy()
+        return pa.table({
+            "doc_id": b["doc_id"].combine_chunks(),
+            "con": pa.array((1_000_000 * c) // n_total),
+            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    per_doc = partial_groupby(
+        joined.map_batches(contrib_rows, batch_format="pyarrow"),
+        ["doc_id"], [("con", "sum", "s"), ("one", "sum", "m")],
+        merge_blocks=16)
+    return per_doc.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"].combine_chunks(),
+            "lm_score_e6": pc.divide(b["s"], b["m"]).cast(pa.int64()),
+        }), batch_format="pyarrow")

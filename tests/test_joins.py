@@ -127,6 +127,20 @@ def test_q43_open_vocab_join_matches_broadcast(ray_session):
     assert len(bcast) > 0
 
 
+def test_q71_open_vocab_join_matches_broadcast(ray_session):
+    """q71's documented open-vocabulary fallback: forcing the vocab gate
+    to 0 (exploded token rows through one bucketed hash_join + doc-key
+    combiner) must reproduce the broadcast index_in path exactly — the
+    all-integer scoring makes both bit-identical."""
+    from cdrc_semantic_search_ray.pipelines import queries as Q
+
+    bcast = Q.q71_lm_quality(SF_DIR, vocab_broadcast_limit=10**9).to_pandas()
+    shuf = Q.q71_lm_quality(SF_DIR, vocab_broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(_canon(bcast), _canon(shuf))
+    assert len(bcast) > 0
+    assert bcast["lm_score_e6"].nunique() > 10  # non-degenerate scores
+
+
 def test_hash_join_string_keys(ray_session):
     """The vectorized string-key bucket path (polars row hash) joins
     correctly: documents ⨝ distinct(lang) built from the same table."""
