@@ -128,7 +128,8 @@ def bench_queries() -> tuple[dict[str, float], dict]:
              "q61_incremental_dedup", "q62_stratified_sample",
              "q63_decontaminate", "q67_kmeans_clusters",
              "q68_semantic_dedup", "q69_pagerank_entities",
-             "q70_temperature_resample", "q71_lm_quality"]
+             "q70_temperature_resample", "q71_lm_quality",
+             "q72_dataset_card"]
     raw: list[dict] = []
     best: dict[str, float] = {}
     for rep in range(BENCH_REPS):

@@ -148,9 +148,12 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, id_col: str = "vec_id",
                              "s_e6": matrix_to_fixed_binary(sums)})
         return partial
 
+    part_schema = pa.schema([("cluster", pa.int64()), ("n", pa.int64()),
+                             ("s_e6", pa.binary(dim * 8))])
+
     def combine(block: pa.Table) -> pa.Table:
-        if len(block) == 0:
-            return block
+        if len(block) == 0:  # typed empty keeps the stage schema stable
+            return part_schema.empty_table()
         cl = block["cluster"].combine_chunks().to_numpy()
         s = fixed_binary_to_matrix(block["s_e6"], np.int64)
         nn = block["n"].combine_chunks().to_numpy()

@@ -2203,6 +2203,69 @@ SELECT doc_id, CAST(s // m AS BIGINT) AS lm_score_e6 FROM per
 """
 
 
+def q72_dataset_card(sf_dir: str):
+    """Per-language dataset-card summary (the corpus-statistics pass every
+    training-data release ships): doc count, exact whitespace-token count,
+    total characters, and distinct-source count per lang — ONE combiner
+    pre-aggregation per batch for the sums (exact int64, associative) plus
+    a distinct (lang, source) pair projection for the cardinality, joined
+    on the dimension-sized lang key.  Documents never shuffle; only the
+    per-batch partials do."""
+    ds = R.read_table(sf_dir, "documents",
+                      ["doc_id", "lang", "source", "n_chars", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ntok = pc.count_substring_regex(batch["text"], r"\S+")
+        ntok = ntok.combine_chunks() if isinstance(ntok, pa.ChunkedArray) \
+            else ntok
+        t = pa.table({
+            "lang": batch["lang"].combine_chunks(),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "ntok": ntok.cast(pa.int64()),
+            "nch": batch["n_chars"].combine_chunks().cast(pa.int64()),
+        })
+        g = t.group_by(["lang"]).aggregate(
+            [("one", "sum"), ("ntok", "sum"), ("nch", "sum")])
+        return pa.table({"lang": g["lang"], "one": g["one_sum"],
+                         "ntok": g["ntok_sum"], "nch": g["nch_sum"]})
+
+    sums = R.partial_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang"],
+        [("one", "sum", "n_docs"), ("ntok", "sum", "n_tokens"),
+         ("nch", "sum", "total_chars")], merge_blocks=4)
+
+    from ..stages.keyblocks import distinct_by
+    pairs = distinct_by(
+        ds.map_batches(lambda b: pa.table(
+            {"lang": b["lang"].combine_chunks(),
+             "source": b["source"].combine_chunks()}),
+            batch_format="pyarrow"), ["lang", "source"])
+    nsrc = R.partial_groupby(
+        pairs.map_batches(lambda b: pa.table(
+            {"lang": b["lang"].combine_chunks(),
+             "one": pa.array(np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["lang"], [("one", "sum", "n_sources")], merge_blocks=4)
+
+    joined = R.hash_join(sums, nsrc, "lang", "lang", num_buckets=4,
+                         join_type="inner")
+    return joined.map_batches(
+        lambda b: b.select(["lang", "n_docs", "n_tokens", "total_chars",
+                            "n_sources"]),
+        batch_format="pyarrow")
+
+
+_SQL_Q72 = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+            AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -2326,7 +2389,7 @@ DRIVER_HORIZON = 50  # the driver records rows for this many entries
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_broadcast_join_agg": q03_broadcast_join_agg,
-    "q06_count_by_group": q06_count_by_group,
+    "q72_dataset_card": q72_dataset_card,
     "q07_anti_join": q07_anti_join,
     "q14_hash_join_agg": q14_hash_join_agg,
     "q16_journeys": q16_journeys,
@@ -2400,6 +2463,7 @@ QUERIES = {
     "q36_strip_html": q36_strip_html,
     "q37_read_text_mining": q37_read_text_mining,
     "q32_render_notes": q32_render_notes,
+    "q06_count_by_group": q06_count_by_group,
 }
 
 ORACLE_SQL = {
@@ -2460,4 +2524,5 @@ ORACLE_SQL = {
     "q66_pack_sequences": _SQL_Q66,
     "q70_temperature_resample": _SQL_Q70,
     "q71_lm_quality": _SQL_Q71,
+    "q72_dataset_card": _SQL_Q72,
 }

@@ -34,7 +34,7 @@ MUST_BE_INSIDE = {
     "q65_repetition_quality", "q66_pack_sequences",
     "q67_kmeans_clusters", "q68_semantic_dedup",
     "q69_pagerank_entities", "q70_temperature_resample",
-    "q71_lm_quality",
+    "q71_lm_quality", "q72_dataset_card",
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -51,7 +51,7 @@ ROTATED_OUT = {
     "q54_serving_session",  # stateful per-request serving — pytest-only
     # late-round-4 rotation for q67-q71 (each with FOUR green driver rows)
     "q33_param_sweep", "q34_csv_roundtrip", "q36_strip_html",
-    "q37_read_text_mining", "q32_render_notes",
+    "q37_read_text_mining", "q32_render_notes", "q06_count_by_group",
 }
 
 
