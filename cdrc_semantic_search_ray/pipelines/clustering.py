@@ -285,7 +285,9 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
              node_broadcast_limit: int = MAX_NODE_BROADCAST):
     """Weighted PageRank by power iteration; returns a Dataset of
     ``(node, rank_fx)`` with ``rank_fx`` int64 e12 fixed-point (initial
-    total mass = 1e12), nodes sorted ascending.
+    total mass = 1e12).  Row ORDER is unspecified (Dataset semantics —
+    the broadcast path happens to emit nodes ascending, the distributed
+    path emits hash-bucket order); sort downstream if order matters.
 
     Exact-integer semantics (bit-identical at any parallelism):
     contribution of node i along edge e = ``rank_i * w_e // outw_i`` (floor
@@ -325,8 +327,10 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
             if isinstance(b["src"].combine_chunks(), pa.ChunkedArray)
             else [b["src"].combine_chunks(), b["dst"].combine_chunks()])})
 
+    # materialized: .count() consumes it here and _pagerank_distributed
+    # joins against it — without this the distinct shuffle would run twice
     nodes_ds = distinct_by(enc.map_batches(ends, batch_format="pyarrow"),
-                           ["node"])
+                           ["node"]).materialize()
     n = nodes_ds.count()
     if n == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
@@ -402,9 +406,13 @@ def _pagerank_distributed(enc, nodes_ds, n: int, iters: int,
     ``partial_groupby`` sum by dst → left-outer join back onto the
     (node, ow) table (missing in-sum ⇒ 0) → materialize the node-sized
     result for the next iteration.  3 key shuffles per iteration, each
-    over node-/edge-sized tables — the edge table is re-scanned, never
-    re-shuffled on a changing key.  Identical integer arithmetic to the
-    broadcast path (parity-tested at gate 0)."""
+    over node-/edge-sized tables.  Known optimization seam: hash_join
+    re-buckets the edge side on the SAME hash(src) every iteration; a
+    pre-bucketed-side join (tag the edges once, re-bucket only the
+    node-sized rank table per iteration) would cut iters−1 edge
+    exchanges but needs hash_join to accept an already-tagged side.
+    Identical integer arithmetic to the broadcast path (parity-tested
+    at gate 0)."""
     from .relational import hash_join, partial_groupby
 
     enc = enc.materialize()  # re-scanned every iteration (object store)

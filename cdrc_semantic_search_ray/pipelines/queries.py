@@ -2140,6 +2140,8 @@ def q70_temperature_resample(sf_dir: str):
         raise ValueError("lang cardinality exceeds the rate-broadcast "
                          "design (group rates are driver-computed)")
     n_by = {r["lang"]: int(r["n"]) for r in counts}
+    if not n_by:  # empty corpus: nothing to resample
+        return ds
     n_min = min(n_by.values())
     # rate = sqrt(n_min/n) (correctly-rounded ops only — see _Q70_T_DEN);
     # threshold = floor(rate·2^32) capped to 2^32−1, compared against the
@@ -2212,7 +2214,7 @@ def q72_dataset_card(sf_dir: str):
     on the dimension-sized lang key.  Documents never shuffle; only the
     per-batch partials do."""
     ds = R.read_table(sf_dir, "documents",
-                      ["doc_id", "lang", "source", "n_chars", "text"])
+                      ["lang", "source", "n_chars", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ntok = pc.count_substring_regex(batch["text"], r"\S+")

@@ -416,7 +416,13 @@ def lm_quality(docs, vocab_broadcast_limit: int = 2_000_000):
                 "one", pa.array(np.ones(len(b), dtype=np.int64))),
             batch_format="pyarrow"),
         ["token"], [("one", "sum", "c")], merge_blocks=8).materialize()
-    n_total = int(counts.sum("c"))
+    n_total_raw = counts.sum("c")
+    if n_total_raw is None:  # empty corpus: typed empty result
+        import ray.data as rd
+        return rd.from_arrow(pa.schema([("doc_id", pa.int64()),
+                                        ("lm_score_e6", pa.int64())])
+                             .empty_table())
+    n_total = int(n_total_raw)
 
     if counts.count() <= vocab_broadcast_limit:
         toks_l, cs_l = [], []
