@@ -2374,14 +2374,17 @@ def kg_nodes(sf_dir: str):
 #                      dedup family keeps q17/q18/q19/q20/q22/q61 rows
 # (the round-4 additions q58-q62 — S2 fetch analogue, redaction, sequence
 # packing, incremental bloom dedup, stratified sampling — take their
-# Late-round-4 rotation for the clustering/graph additions q67-q70 (new
-# operators must not land in the blind spot); rotated out, each with FOUR
-# green driver rows (rounds 1-4):
+# Late-round-4 rotation for the clustering/graph/quality additions
+# q67-q72 (new operators must not land in the blind spot); rotated out,
+# each with FOUR green driver rows (rounds 1-4):
 #   q33_param_sweep    R9 sweep shape generalized by q57_eval_sweep's
 #                      alpha-grid (stays inside)
 #   q34_csv_roundtrip  S8/S9 CSV read+write; kernel unchanged since r1
 #   q36_strip_html     M3 regex strip; kernel unchanged since r1
 #   q37_read_text_mining  S10 text-file reader; kernel unchanged since r1
+#   q32_render_notes   S3/M4/M12 string rendering; kernel unchanged
+#   q06_count_by_group R4 grouped count-distinct — q72_dataset_card keeps
+#                      the same capability inside (count(DISTINCT source))
 # horizon slots; every rotated-out entry is re-verified each session by
 # tests/test_registry.py's oracle sweep)
 # ---------------------------------------------------------------------------
