@@ -207,8 +207,13 @@ def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
     return _merge_topk(partials, k)
 
 
+MAX_EMB_SIDE_BROADCAST = 2_000_000  # rows; the embedding side ships once
+# via ray.put below this (q41's gate recipe) instead of the bucketed join
+
+
 def hybrid_topk(sf_dir: str, nq: int = 5, k: int = 3,
-                alphas: tuple[int, ...] = (0, 75, 100)):
+                alphas: tuple[int, ...] = (0, 75, 100),
+                emb_broadcast_limit: int = MAX_EMB_SIDE_BROADCAST):
     """Hybrid dense+sparse retrieval (SURVEY.md R2 hybrid — the reference's
     vector_store_query_mode='hybrid', alpha=0.75:
     /root/reference/config/config.toml:13-15, src/model.py:73-79):
@@ -244,8 +249,34 @@ def hybrid_topk(sf_dir: str, nq: int = 5, k: int = 3,
                          "emb_bin": matrix_to_fixed_binary(
                              list_matrix(b, "embedding", np.float64))})
 
-    corpus = R.hash_join(docs, embs.map_batches(_enc, batch_format="pyarrow"),
-                         "doc_id", "vec_id", num_buckets=32)
+    n_embs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_embs <= emb_broadcast_limit:
+        # dimension-sized embedding table: ship it ONCE and attach per doc
+        # batch with a vectorized index_in — the documents never shuffle
+        # (the join exchange was the dominant cost of q35/q57; gate-0
+        # parity pytest pins the two paths identical)
+        et = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        e_ids = et["vec_id"].combine_chunks()
+        e_bin = matrix_to_fixed_binary(
+            np.stack(et["embedding"].to_pylist()).astype(np.float64))
+        eref = ray.put((e_ids, e_bin))
+
+        def attach(b: pa.Table) -> pa.Table:
+            ids_cat, bin_cat = ray.get(eref)
+            idx = pc.index_in(b["doc_id"].combine_chunks(),
+                              value_set=ids_cat)
+            hit = pc.is_valid(idx)
+            b = b.filter(hit)  # inner-join semantics: drop misses
+            return pa.table({"doc_id": b["doc_id"].combine_chunks(),
+                             "text": b["text"].combine_chunks(),
+                             "emb_bin": bin_cat.take(idx.filter(hit))})
+
+        corpus = docs.map_batches(attach, batch_format="pyarrow")
+    else:
+        corpus = R.hash_join(docs,
+                             embs.map_batches(_enc, batch_format="pyarrow"),
+                             "doc_id", "vec_id", num_buckets=32)
 
     def _tok_lists(text_col) -> list[list[str]]:
         """RE2 '\\s+' tokenization — the SAME regex engine/class the oracle's

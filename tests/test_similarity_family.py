@@ -129,3 +129,17 @@ def test_multimodal_features_deterministic_schema(ray_session):
     b = b[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_hybrid_topk_broadcast_matches_join_path(ray_session):
+    """hybrid_topk's embedding side is size-gated (broadcast attach below
+    the limit, bucketed hash join above): both paths must agree exactly —
+    the arithmetic is identical, only the data plumbing differs."""
+    bc = S.hybrid_topk(SF_DIR, nq=4, k=3).to_pandas()
+    jn = S.hybrid_topk(SF_DIR, nq=4, k=3, emb_broadcast_limit=0).to_pandas()
+    key = ["query_id", "alpha_pct", "rank"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    jn = jn.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc[sorted(bc.columns)],
+                                  jn[sorted(jn.columns)])
+    assert len(bc) > 0
