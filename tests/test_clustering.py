@@ -232,3 +232,31 @@ def test_pagerank_sink_dominates(ray_session):
     got = {r["node"]: r["rank_fx"]
            for r in C.pagerank(rd.from_items(edges), iters=10).take_all()}
     assert got["hub"] > max(v for k, v in got.items() if k != "hub") * 3
+
+
+def test_temperature_resample_rate_semantics(ray_session):
+    """q70's temperature rule, checked on the real sf0.001 table: the
+    smallest lang keeps (almost) everything, larger langs are sampled at
+    rate sqrt(n_min/n) — kept counts must land near n·rate, and the
+    smallest group's kept fraction must exceed every larger group's."""
+    import duckdb
+
+    from cdrc_semantic_search_ray.pipelines.queries import \
+        q70_temperature_resample
+
+    sf = "/root/testdata/sf0.01"
+    out = q70_temperature_resample(sf).to_pandas()
+    counts = dict(duckdb.sql(
+        f"select lang, count(*) from '{sf}/documents.parquet' group by lang"
+    ).fetchall())
+    n_min = min(counts.values())
+    kept = out.groupby("lang").size().to_dict()
+    for lang, n in counts.items():
+        rate = (n_min / n) ** 0.5
+        expect = n * rate
+        # md5-prefix Bernoulli at 2^32 granularity: binomial-ish tolerance
+        assert abs(kept.get(lang, 0) - expect) <= max(6, 4 * expect ** 0.5), \
+            (lang, kept.get(lang, 0), expect)
+    fracs = {lg: kept.get(lg, 0) / counts[lg] for lg in counts}
+    smallest = min(counts, key=counts.get)
+    assert all(fracs[smallest] >= fracs[lg] - 1e-9 for lg in counts)
