@@ -271,6 +271,57 @@ def semantic_dedup(embeddings, k: int = 8, iters: int = 5,
     return map_hash_blocks(assigned, ["cluster"], per_cluster, num_blocks=32)
 
 
+def save_centroids(centroids_e6: np.ndarray, path: str) -> None:
+    """Persist a trained centroid matrix as parquet (cluster, pos,
+    c_e6) long-form — the incremental-ingestion handoff: cluster the
+    corpus once, then :func:`assign_to_centroids` each daily arrival
+    batch against the saved model (same shape as q61's bloom handoff
+    for incremental dedup)."""
+    import pyarrow.parquet as pq
+
+    k, dim = centroids_e6.shape
+    pq.write_table(pa.table({
+        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+        "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+        "c_e6": pa.array(centroids_e6.reshape(-1)),
+    }), path)
+
+
+def load_centroids(path: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by([("cluster", "ascending"),
+                                     ("pos", "ascending")])
+    k = len(pc.unique(t["cluster"]))
+    return t["c_e6"].to_numpy().reshape(k, -1).copy()
+
+
+def assign_to_centroids(embeddings, centroids_e6: np.ndarray,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Assign a NEW batch of vectors to an EXISTING clustering (the
+    incremental path: no Lloyd's iterations, one broadcast + one scan).
+    Same exact fixed-point assignment arithmetic as :func:`kmeans`'s
+    final pass, so a vector identical to one clustered at training time
+    lands in the identical cluster.  Returns ``(id, cluster, sim_e6)``."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(centroids_e6, dtype=np.int64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        enc = _encode(batch, id_col, vec_col)
+        v = fixed_binary_to_matrix(enc["v_e6"], np.int64)
+        a, best = _assign(v, cm)
+        return pa.table({
+            "id": enc["id"],
+            "cluster": pa.array(a.astype(np.int64)),
+            "sim_e6": pa.array(_e6_of_e12(best)),
+        })
+
+    return embeddings.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------

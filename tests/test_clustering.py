@@ -260,3 +260,22 @@ def test_temperature_resample_rate_semantics(ray_session):
     fracs = {lg: kept.get(lg, 0) / counts[lg] for lg in counts}
     smallest = min(counts, key=counts.get)
     assert all(fracs[smallest] >= fracs[lg] - 1e-9 for lg in counts)
+
+
+def test_assign_to_centroids_roundtrip(ray_session, tmp_path):
+    """The incremental-ingestion handoff: save centroids, reload, assign
+    the SAME corpus — every vector must land in the identical cluster
+    with the identical similarity the training pass produced (the
+    assignment arithmetic is shared, the parquet roundtrip exact)."""
+    asg, cm = C.kmeans(_emb(), k=5, iters=2)
+    want = asg.to_pandas().sort_values("id").reset_index(drop=True)
+
+    path = str(tmp_path / "centroids.parquet")
+    C.save_centroids(cm, path)
+    loaded = C.load_centroids(path)
+    assert np.array_equal(loaded, cm)
+
+    got = (C.assign_to_centroids(_emb(), loaded)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got[["id", "cluster", "sim_e6"]].equals(
+        want[["id", "cluster", "sim_e6"]])
