@@ -272,28 +272,27 @@ def semantic_dedup(embeddings, k: int = 8, iters: int = 5,
 
 
 def save_centroids(centroids_e6: np.ndarray, path: str) -> None:
-    """Persist a trained centroid matrix as parquet (cluster, pos,
-    c_e6) long-form — the incremental-ingestion handoff: cluster the
-    corpus once, then :func:`assign_to_centroids` each daily arrival
-    batch against the saved model (same shape as q61's bloom handoff
-    for incremental dedup)."""
+    """Persist a trained centroid matrix as parquet (cluster, c_bin) —
+    one row per centroid in the module's fixed-binary wire format — the
+    incremental-ingestion handoff: cluster the corpus once, then
+    :func:`assign_to_centroids` each daily arrival batch against the
+    saved model (same shape as q61's bloom handoff for incremental
+    dedup)."""
     import pyarrow.parquet as pq
 
-    k, dim = centroids_e6.shape
+    k = len(centroids_e6)
     pq.write_table(pa.table({
-        "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
-        "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
-        "c_e6": pa.array(centroids_e6.reshape(-1)),
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "c_bin": matrix_to_fixed_binary(
+            np.ascontiguousarray(centroids_e6, dtype=np.int64)),
     }), path)
 
 
 def load_centroids(path: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path).sort_by([("cluster", "ascending"),
-                                     ("pos", "ascending")])
-    k = len(pc.unique(t["cluster"]))
-    return t["c_e6"].to_numpy().reshape(k, -1).copy()
+    t = pq.read_table(path).sort_by([("cluster", "ascending")])
+    return fixed_binary_to_matrix(t["c_bin"], np.int64)
 
 
 def assign_to_centroids(embeddings, centroids_e6: np.ndarray,

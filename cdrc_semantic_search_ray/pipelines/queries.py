@@ -2223,21 +2223,29 @@ def q72_dataset_card(sf_dir: str):
         ntok = pc.count_substring_regex(batch["text"], r"\S+")
         ntok = ntok.combine_chunks() if isinstance(ntok, pa.ChunkedArray) \
             else ntok
+        src = batch["source"].combine_chunks()
+        # NULL source handling: Ray's sort exchange cannot key on NULLs
+        # and the oracle's count(DISTINCT source) ignores them — key on
+        # (coalesced source, has_src) so the null group stays separate
+        # from a real "" source AND contributes 0 to n_sources
         t = pa.table({
             "lang": batch["lang"].combine_chunks(),
-            "source": batch["source"].combine_chunks(),
+            "source": pc.coalesce(src, pa.scalar("", pa.string())),
+            "has_src": pc.is_valid(src).cast(pa.int64()),
             "one": pa.array(np.ones(len(batch), dtype=np.int64)),
             "ntok": ntok.cast(pa.int64()),
             "nch": batch["n_chars"].combine_chunks().cast(pa.int64()),
         })
-        g = t.group_by(["lang", "source"]).aggregate(
+        g = t.group_by(["lang", "source", "has_src"]).aggregate(
             [("one", "sum"), ("ntok", "sum"), ("nch", "sum")])
         return pa.table({"lang": g["lang"], "source": g["source"],
+                         "has_src": g["has_src"],
                          "one": g["one_sum"], "ntok": g["ntok_sum"],
                          "nch": g["nch_sum"]})
 
     fine = R.partial_groupby(
-        ds.map_batches(partial, batch_format="pyarrow"), ["lang", "source"],
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source", "has_src"],
         [("one", "sum", "n_docs"), ("ntok", "sum", "n_tokens"),
          ("nch", "sum", "total_chars")], merge_blocks=4)
 
@@ -2247,7 +2255,7 @@ def q72_dataset_card(sf_dir: str):
             "n_docs": b["n_docs"].combine_chunks(),
             "n_tokens": b["n_tokens"].combine_chunks(),
             "total_chars": b["total_chars"].combine_chunks(),
-            "one": pa.array(np.ones(len(b), dtype=np.int64)),
+            "one": b["has_src"].combine_chunks(),
         }), batch_format="pyarrow"),
         ["lang"], [("n_docs", "sum", "n_docs"),
                    ("n_tokens", "sum", "n_tokens"),

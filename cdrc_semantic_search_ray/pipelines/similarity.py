@@ -207,13 +207,15 @@ def topk_ivf(embeddings, query_ids: list[int], k: int = 5,
     return _merge_topk(partials, k)
 
 
-MAX_EMB_SIDE_BROADCAST = 2_000_000  # rows; the embedding side ships once
-# via ray.put below this (q41's gate recipe) instead of the bucketed join
+MAX_EMB_SIDE_BROADCAST_BYTES = 1 << 30  # the embedding side ships once via
+# ray.put below this SIZE (rows × dim × 8B — a row-count gate would approve
+# broadcasts whose byte size OOMs the driver at high dim); above it, the
+# bucketed join
 
 
 def hybrid_topk(sf_dir: str, nq: int = 5, k: int = 3,
                 alphas: tuple[int, ...] = (0, 75, 100),
-                emb_broadcast_limit: int = MAX_EMB_SIDE_BROADCAST):
+                emb_broadcast_limit: int = MAX_EMB_SIDE_BROADCAST_BYTES):
     """Hybrid dense+sparse retrieval (SURVEY.md R2 hybrid — the reference's
     vector_store_query_mode='hybrid', alpha=0.75:
     /root/reference/config/config.toml:13-15, src/model.py:73-79):
@@ -249,30 +251,25 @@ def hybrid_topk(sf_dir: str, nq: int = 5, k: int = 3,
                          "emb_bin": matrix_to_fixed_binary(
                              list_matrix(b, "embedding", np.float64))})
 
-    n_embs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    if n_embs <= emb_broadcast_limit:
-        # dimension-sized embedding table: ship it ONCE and attach per doc
-        # batch with a vectorized index_in — the documents never shuffle
-        # (the join exchange was the dominant cost of q35/q57; gate-0
-        # parity pytest pins the two paths identical)
-        et = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-        e_ids = et["vec_id"].combine_chunks()
-        e_bin = matrix_to_fixed_binary(
-            np.stack(et["embedding"].to_pylist()).astype(np.float64))
-        eref = ray.put((e_ids, e_bin))
-
-        def attach(b: pa.Table) -> pa.Table:
-            ids_cat, bin_cat = ray.get(eref)
-            idx = pc.index_in(b["doc_id"].combine_chunks(),
-                              value_set=ids_cat)
-            hit = pc.is_valid(idx)
-            b = b.filter(hit)  # inner-join semantics: drop misses
-            return pa.table({"doc_id": b["doc_id"].combine_chunks(),
-                             "text": b["text"].combine_chunks(),
-                             "emb_bin": bin_cat.take(idx.filter(hit))})
-
-        corpus = docs.map_batches(attach, batch_format="pyarrow")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    n_embs = pq.read_metadata(emb_path).num_rows
+    etype = pq.read_schema(emb_path).field("embedding").type
+    dim = etype.list_size if pa.types.is_fixed_size_list(etype) else 1024
+    if n_embs * dim * 8 <= emb_broadcast_limit:
+        # dimension-sized embedding table: ship it ONCE (vec_id + the
+        # fixed-binary vectors) and join per doc batch via the shared
+        # broadcast_join (Acero — identical duplicate-key fan-out to the
+        # hash_join path, so the two gated paths can't diverge) — the
+        # documents never shuffle (the join exchange was the dominant
+        # cost of q35/q57; gate-0 parity pytest pins the paths identical)
+        et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        small = pa.table({
+            "vec_id": et["vec_id"].combine_chunks(),
+            "emb_bin": matrix_to_fixed_binary(
+                list_matrix(et, "embedding", np.float64)),
+        })
+        corpus = R.broadcast_join(docs, small, "doc_id",
+                                  right_keys="vec_id")
     else:
         corpus = R.hash_join(docs,
                              embs.map_batches(_enc, batch_format="pyarrow"),

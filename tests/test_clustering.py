@@ -235,7 +235,7 @@ def test_pagerank_sink_dominates(ray_session):
 
 
 def test_temperature_resample_rate_semantics(ray_session):
-    """q70's temperature rule, checked on the real sf0.001 table: the
+    """q70's temperature rule, checked on the real sf0.01 table: the
     smallest lang keeps (almost) everything, larger langs are sampled at
     rate sqrt(n_min/n) — kept counts must land near n·rate, and the
     smallest group's kept fraction must exceed every larger group's."""
@@ -279,3 +279,26 @@ def test_assign_to_centroids_roundtrip(ray_session, tmp_path):
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got[["id", "cluster", "sim_e6"]].equals(
         want[["id", "cluster", "sim_e6"]])
+
+
+def test_q72_ignores_null_sources(ray_session, tmp_path):
+    """q72's n_sources must match count(DISTINCT source) — NULLs ignored —
+    and a NULL source must not crash the keyed exchange (Ray sort cannot
+    key on NULLs; q72 coalesces + carries a has_src flag in the key)."""
+    import pyarrow.parquet as pq
+
+    from cdrc_semantic_search_ray.pipelines.queries import q72_dataset_card
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de"]),
+        "source": pa.array(["s1", None, "", "s2"]),  # null + empty-string
+        "n_chars": pa.array([5, 5, 5, 5], pa.int64()),
+        "text": pa.array(["a b", "c", "d e f", "g"]),
+    }), f"{d}/documents.parquet")
+    out = q72_dataset_card(d).to_pandas().set_index("lang")
+    assert int(out.loc["en", "n_sources"]) == 2  # {"s1", ""} — null ignored
+    assert int(out.loc["en", "n_docs"]) == 3     # null row still counted
+    assert int(out.loc["en", "n_tokens"]) == 6
+    assert int(out.loc["de", "n_sources"]) == 1
