@@ -29,3 +29,16 @@ are owned by the driver, ``bench.py`` and the pytest fixture only.
 """
 
 __version__ = "0.1.0"
+
+# Cap polars' rayon pool BEFORE any worker's first polars import (this
+# module loads when a UDF deserializes). Our only polars use is
+# hash_rows over per-block frames — memory-bandwidth-bound, no win from
+# intra-frame parallelism — while the default pool is one thread per
+# core PER WORKER: 32 workers × 32 threads ≈ 1000 threads, and a
+# resource-pressured worker that fails to spawn its pool poisons every
+# polars-using UDF scheduled on it (observed once as transient
+# UserCodeExceptions in two unrelated queries of a full sweep).
+# Respect an explicit caller override.
+import os as _os
+
+_os.environ.setdefault("POLARS_MAX_THREADS", "2")

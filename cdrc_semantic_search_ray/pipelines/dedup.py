@@ -496,11 +496,11 @@ def _text_hash2(batch: pa.Table, col: str = "text"):
     """The exact-dedup 128-bit content key (two polars 64-bit row hashes,
     seeds 0/1) as uint64 numpy arrays — shared arithmetic with
     exact_dedup's digest so both paths agree on text identity."""
-    import polars as pl
+    from ..stages.keyblocks import polars_hash_rows
 
     t = pa.table({"t": batch[col].combine_chunks()})
-    h0 = pl.from_arrow(t).hash_rows(seed=0).to_numpy()
-    h1 = pl.from_arrow(t).hash_rows(seed=1).to_numpy()
+    h0 = polars_hash_rows(t, seed=0)
+    h1 = polars_hash_rows(t, seed=1)
     return h0, h1
 
 

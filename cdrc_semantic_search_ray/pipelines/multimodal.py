@@ -133,7 +133,7 @@ class HeaderDecoder:
         self._kinds = np.array(KINDS)  # codec-handle slot (load-once seam)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from ..stages.keyblocks import polars_hash_rows
 
         payload = batch["payload"].combine_chunks()
         if len(payload) == 0:
@@ -147,8 +147,7 @@ class HeaderDecoder:
         if mismatch:
             raise ValueError(f"{mismatch} payload headers disagree with "
                              "the declared media_type column")
-        csum = pl.from_arrow(pa.table({"p": payload})) \
-                 .hash_rows(seed=0).to_numpy()
+        csum = polars_hash_rows(pa.table({"p": payload}), seed=0)
         return pa.table({
             "item_id": batch["item_id"].combine_chunks(),
             "media_type": media,

@@ -110,10 +110,10 @@ def _bucket_arrays(ks: list[pa.Array], num_buckets: int) -> pa.Array:
     if len(ks) == 1 and pa.types.is_integer(ks[0].type):
         h = ks[0].to_numpy().astype(np.int64, copy=False) % num_buckets
         return pa.array(h.astype(np.int32))
-    import polars as pl
+    from ..stages.keyblocks import polars_hash_rows
 
     t = pa.table({f"k{i}": a for i, a in enumerate(ks)})
-    h = pl.from_arrow(t).hash_rows(seed=0).to_numpy()
+    h = polars_hash_rows(t, seed=0)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 

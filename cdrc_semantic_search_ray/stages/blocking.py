@@ -103,9 +103,9 @@ def block_keys_batch(batch: pa.Table, id_col: str = "node_id",
 def salt_codes(ids: pa.Array, salt_factor: int) -> np.ndarray:
     """Deterministic sub-block per row id — vectorized cross-process-stable
     hash (polars, fixed seed), replacing the per-row crc32 Python loop."""
-    import polars as pl
+    from .keyblocks import polars_hash_rows
 
-    h = pl.from_arrow(pa.table({"i": ids})).hash_rows(seed=7).to_numpy()
+    h = polars_hash_rows(pa.table({"i": ids}), seed=7)
     return h % np.uint64(salt_factor)
 
 

@@ -69,6 +69,35 @@ def map_hash_blocks(ds, keys: list[str], fn, num_buckets: int = 1024,
         drop_and_apply, batch_size=None, batch_format="pyarrow", **map_opts)
 
 
+def polars_hash_rows(table: pa.Table, seed: int) -> np.ndarray:
+    """ONE hardened entry point for every polars row-hash in the engine.
+
+    A Ray worker whose FIRST polars import is interrupted (task
+    cancellation mid-import — e.g. a pipeline aborting while a fresh
+    worker deserializes its UDF) caches a half-initialized module in
+    ``sys.modules``; every later ``import polars`` in that worker then
+    returns the broken module and raises ``AttributeError: module
+    'polars._reexport' has no attribute 'Series'`` from inside
+    ``from_arrow`` — deterministically, for the worker's whole lifetime
+    (observed poisoning two unrelated queries of a full oracle sweep).
+    Healing: purge ``polars*`` from ``sys.modules`` and re-import once.
+    """
+    import sys
+
+    for attempt in (0, 1):
+        try:
+            import polars as pl
+
+            return pl.from_arrow(table).hash_rows(seed=seed).to_numpy()
+        except AttributeError:
+            if attempt:
+                raise
+            for k in [k for k in list(sys.modules)
+                      if k == "polars" or k.startswith("polars.")]:
+                sys.modules.pop(k, None)
+    raise AssertionError("unreachable")
+
+
 def bucket_of_rows(batch: pa.Table, keys: list[str],
                    num_buckets: int) -> pa.Array:
     """int32 bucket per row from a cross-process-stable vectorized row hash
@@ -77,9 +106,7 @@ def bucket_of_rows(batch: pa.Table, keys: list[str],
     dominated exchange tagging, round-2 VERDICT #4). Buckets control
     placement only; per-block group/join logic always re-reads real keys,
     so results are hash-function-independent."""
-    import polars as pl
-
-    h = pl.from_arrow(batch.select(keys)).hash_rows(seed=0).to_numpy()
+    h = polars_hash_rows(batch.select(keys), seed=0)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32))
 
 
