@@ -123,7 +123,13 @@ def test_q41_broadcast_matches_join_path(ray_session):
                                   "q25_token_count", "q27_fingerprint",
                                   "q42_deterministic_sample",
                                   "q45_read_json_catalogue",
-                                  "q47_sliding_window"])
+                                  "q47_sliding_window",
+                                  # late-round-4 rotations (q67-q72 took
+                                  # their horizon slots)
+                                  "q06_count_by_group", "q32_render_notes",
+                                  "q33_param_sweep", "q34_csv_roundtrip",
+                                  "q36_strip_html",
+                                  "q37_read_text_mining"])
 def test_rotated_oracle_queries(ray_session, name):
     from conftest import duckdb_oracle
 
