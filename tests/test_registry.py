@@ -140,3 +140,26 @@ def test_rotated_oracle_queries(ray_session, name):
     assert len(got) == len(want)
     assert sorted(got.columns) == sorted(want.columns)
     assert _value_hash(got) == _value_hash(want)
+
+
+def test_polars_hash_rows_heals_poisoned_module():
+    """The worker-poisoning failure mode pinned as a unit test: delete the
+    attribute the half-initialized-module crash hits, then verify the
+    hardened entry point purges + re-imports and returns the identical
+    hashes (cross-process-stable seeded ahash — partition layouts depend
+    on these values never changing)."""
+    import pyarrow as pa
+
+    from cdrc_semantic_search_ray.stages.keyblocks import polars_hash_rows
+
+    t = pa.table({"k": pa.array(["a", "b", "c"])})
+    want = polars_hash_rows(t, seed=0).tolist()
+
+    import polars
+
+    del polars._reexport.Series  # simulate the interrupted first import
+    assert polars_hash_rows(t, seed=0).tolist() == want  # healed
+
+    import polars as pl2
+
+    assert hasattr(pl2._reexport, "Series")  # fresh module restored
