@@ -166,6 +166,12 @@ def run_once() -> dict:
     kg = bench_kg(corpus, out_dir)
     queries, qproto = ({}, {}) if KG_ONLY else bench_queries()
     total = round(kg["sec"] + sum(queries.values()), 3)
+    # Compact result only — round-4 VERDICT #1: the official BENCH_r04.json
+    # record was `parsed: null` because per-rep raw arrays inlined in the
+    # final stdout line overflowed the driver's tail capture. The full raw
+    # protocol trace (per-rep, per-query seconds + loadavg) is written to
+    # BENCH_RAW.json next to this file instead; the printed line carries
+    # totals + per-query best only.
     result = {
         "metric": "kg_pipeline+operator_suite wall seconds",
         "value": total,
@@ -175,14 +181,22 @@ def run_once() -> dict:
         "num_cpus": NUM_CPUS,
         "kg_turns": kg["n_turns"],
         "kg_turns_per_sec": kg["turns_per_sec"],
+        "loadavg": [load_start, round(os.getloadavg()[0], 2)],
+        "raw_trace": "BENCH_RAW.json",
+    }
+    raw = {
+        **result,
         "protocol": {
             "best_of": BENCH_REPS,
-            "loadavg_start": load_start,
-            "loadavg_end": round(os.getloadavg()[0], 2),
             "kg_reps": kg["reps"], "kg_loadavg": kg["loadavg"],
             **qproto,
         },
     }
+    try:
+        (Path(__file__).parent / "BENCH_RAW.json").write_text(
+            json.dumps(raw, indent=1))
+    except OSError:
+        pass
     ray.shutdown()
     return result
 
@@ -297,11 +311,12 @@ def run_scaling() -> dict:
         "sentinel_hi_drift": round(drift_hi, 3),
         "contended": drift > drift_tol or drift_hi > drift_tol,
         "scaling_efficiency": round(eff, 3),
-        "raw_runs": raws,
     }
     try:
+        # raw per-run records go to the side file only (round-4 VERDICT #1:
+        # keep the printed line compact enough for the driver's tail capture)
         raw_path = Path(__file__).parent / "SCALING_RAW.json"
-        raw_path.write_text(json.dumps(result, indent=1))
+        raw_path.write_text(json.dumps({**result, "raw_runs": raws}, indent=1))
     except OSError:
         pass
     return result

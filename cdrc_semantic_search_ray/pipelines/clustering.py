@@ -25,7 +25,8 @@ Determinism discipline (same contract as the rest of the engine — results
 must not depend on batch/partition boundaries or ``num_cpus``):
 
 - vectors are L2-normalized per row (row-local ⇒ boundary-independent) and
-  quantized to e6 fixed-point int64.
+  quantized to e6 fixed-point, packed int32 on the wire (±1e6-bounded ⇒
+  lossless; centroids and partial sums stay int64).
 - similarity = dot of two e6 integer vectors, computed in float64: every
   partial product (≤1e12) and running sum (≤ dim·1e12 < 2^53 for dim up to
   ~9000) is an exactly-representable integer, so ANY summation order gives
@@ -51,21 +52,28 @@ _SIGN_FLIP = np.uint64(1 << 63)  # order-preserving uint64 → int64 embedding
 MAX_K = 65_536  # centroids are broadcast + driver-held: k must stay small
 
 
-def _rows_matrix(rows: list[dict], col: str) -> np.ndarray:
-    """(N, D) int64 matrix from driver-collected rows carrying raw bytes.
+def _rows_matrix(rows: list[dict], col: str, dtype=np.int64) -> np.ndarray:
+    """(N, D) int matrix from driver-collected rows carrying raw bytes.
     Driver-side only, on BOUNDED row sets (seed picks / combiner partials)."""
     if not rows:
-        return np.empty((0, 0), dtype=np.int64)
+        return np.empty((0, 0), dtype=dtype)
     return np.frombuffer(b"".join(r[col] for r in rows),
-                         dtype=np.int64).reshape(len(rows), -1)
+                         dtype=dtype).reshape(len(rows), -1)
 
 
 def _encode(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
-    """(id, unit-normalized vector as e6 fixed-point int64 binary)."""
+    """(id, unit-normalized vector as e6 fixed-point int32 binary).
+
+    int32, not int64 (round-4 VERDICT next #5): components of a unit vector
+    ×1e6 are bounded by ±1e6 ≪ 2^31, so int32 packs losslessly and halves
+    the one materialization Lloyd's needs plus every exchange row carrying
+    v_e6. All arithmetic still runs exact: int32 → float64 is exact, and
+    centroid partial SUMS stay int64 (a batch of 1e6-bounded components
+    overflows int32 at ~2k rows)."""
     m = list_matrix(batch, vec_col, np.float64)
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     x = 1e6 * m
-    v_e6 = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+    v_e6 = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int32)
     return pa.table({"id": batch[id_col].combine_chunks().cast(pa.int64()),
                      "v_e6": matrix_to_fixed_binary(v_e6)})
 
@@ -89,7 +97,8 @@ def _seed_pick(enc, k: int) -> np.ndarray:
 
     rows = enc.map_batches(partial, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (r["mixkey"], r["id"]))
-    return _rows_matrix(rows[:k], "v_e6")
+    # centroids stay int64 externally (save/load format + headroom)
+    return _rows_matrix(rows[:k], "v_e6", np.int32).astype(np.int64)
 
 
 def _assign(v: np.ndarray, cm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -137,11 +146,11 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, id_col: str = "vec_id",
     def make_partial(ref):
         def partial(batch: pa.Table) -> pa.Table:
             cmat = ray.get(ref)
-            v = fixed_binary_to_matrix(batch["v_e6"], np.int64)
+            v = fixed_binary_to_matrix(batch["v_e6"], np.int32)
             a, _ = _assign(v, cmat)
             uniq, codes = np.unique(a, return_inverse=True)
             sums = np.zeros((len(uniq), dim), dtype=np.int64)
-            np.add.at(sums, codes, v)
+            np.add.at(sums, codes, v.astype(np.int64))
             cnts = np.bincount(codes).astype(np.int64)
             return pa.table({"cluster": pa.array(uniq.astype(np.int64)),
                              "n": pa.array(cnts),
@@ -192,7 +201,7 @@ def kmeans(embeddings, k: int = 8, iters: int = 5, id_col: str = "vec_id",
 
     def finalize(batch: pa.Table) -> pa.Table:
         cmat = ray.get(fref)
-        v = fixed_binary_to_matrix(batch["v_e6"], np.int64)
+        v = fixed_binary_to_matrix(batch["v_e6"], np.int32)
         a, best = _assign(v, cmat)
         return pa.table({
             "id": batch["id"].combine_chunks(),
@@ -242,7 +251,7 @@ def semantic_dedup(embeddings, k: int = 8, iters: int = 5,
                            ("id", "ascending")])
         ids = b["id"].combine_chunks().to_numpy()
         cl = b["cluster"].combine_chunks().to_numpy()
-        v = fixed_binary_to_matrix(b["v_e6"], np.int64).astype(np.float64)
+        v = fixed_binary_to_matrix(b["v_e6"], np.int32).astype(np.float64)
         n = len(b)
         starts = run_starts(b, ["cluster"])
         ends = np.append(starts[1:], n)
@@ -310,7 +319,7 @@ def assign_to_centroids(embeddings, centroids_e6: np.ndarray,
     def f(batch: pa.Table) -> pa.Table:
         cm = ray.get(ref)
         enc = _encode(batch, id_col, vec_col)
-        v = fixed_binary_to_matrix(enc["v_e6"], np.int64)
+        v = fixed_binary_to_matrix(enc["v_e6"], np.int32)
         a, best = _assign(v, cm)
         return pa.table({
             "id": enc["id"],
@@ -327,6 +336,18 @@ def assign_to_centroids(embeddings, centroids_e6: np.ndarray,
 
 PR_SCALE = 10**12  # rank mass fixed-point: total initial mass = PR_SCALE
 MAX_NODE_BROADCAST = 2_000_000
+# per-edge contribution is rank_i * w_e (both int64) BEFORE the floor-div;
+# rank_i ≤ PR_SCALE (total mass is conserved minus floor loss), so weights
+# above this bound could silently wrap int64 (ADVICE r4) — guarded per batch
+MAX_SAFE_WEIGHT = (2**63 - 1) // PR_SCALE
+
+
+def _check_weights(w: np.ndarray) -> None:
+    if len(w) and int(w.max()) > MAX_SAFE_WEIGHT:
+        raise ValueError(
+            f"edge weight {int(w.max())} exceeds the int64-safe bound "
+            f"{MAX_SAFE_WEIGHT} (rank × weight must fit int64; rescale "
+            "weights before pagerank)")
 
 
 def pagerank(edges, src: str = "subj", dst: str = "obj",
@@ -342,7 +363,10 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
     Exact-integer semantics (bit-identical at any parallelism):
     contribution of node i along edge e = ``rank_i * w_e // outw_i`` (floor
     division; the sub-ULP mass lost to flooring is ≤ E/1e12 per iteration
-    and identical on every run).  Dangling mass (out-weight 0) and the
+    and identical on every run). Weights must stay ≤ ``MAX_SAFE_WEIGHT``
+    (≈9.2e6): rank_i ≤ PR_SCALE, so larger weights could wrap the int64
+    product — validated per batch, loud ValueError instead of silent wrap
+    (ADVICE r4).  Dangling mass (out-weight 0) and the
     teleport term redistribute uniformly with the same floor arithmetic.
 
     Scale shape: the edge list is the big side; endpoints are resolved to
@@ -427,6 +451,7 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
             si = b["si"].combine_chunks().to_numpy()
             di = b["di"].combine_chunks().to_numpy()
             w = b["w"].combine_chunks().to_numpy()
+            _check_weights(w)
             c = rk[si] * w // np.maximum(ow[si], 1)  # exact int floor
             sums = np.zeros(len(rk), dtype=np.int64)
             np.add.at(sums, di, c)
@@ -447,25 +472,103 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
         "node": node_arr, "rank_fx": pa.array(rank.astype(np.int64))}))
 
 
+_CONTRIB_SCHEMA = pa.schema([("dst", pa.string()), ("c", pa.int64())])
+_EDGE_SCHEMA = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                          ("w", pa.int64())])
+_RANK_SCHEMA = pa.schema([("node", pa.string()), ("ow", pa.int64()),
+                          ("rank", pa.int64())])
+
+
 def _pagerank_distributed(enc, nodes_ds, n: int, iters: int,
                           damp_num: int, damp_den: int,
                           num_buckets: int = 64):
     """Dataset-resident PageRank (the above-gate path): the rank table is
-    never collected.  Per iteration: bucketed ``hash_join`` of the edge
-    list with the rank table on src → floor-div contributions →
-    ``partial_groupby`` sum by dst → left-outer join back onto the
-    (node, ow) table (missing in-sum ⇒ 0) → materialize the node-sized
-    result for the next iteration.  3 key shuffles per iteration, each
-    over node-/edge-sized tables.  Known optimization seam: hash_join
-    re-buckets the edge side on the SAME hash(src) every iteration; a
-    pre-bucketed-side join (tag the edges once, re-bucket only the
-    node-sized rank table per iteration) would cut iters−1 edge
-    exchanges but needs hash_join to accept an already-tagged side.
-    Identical integer arithmetic to the broadcast path (parity-tested
-    at gate 0)."""
+    never collected.
+
+    Round-5 rework (round-4 VERDICT next #3 — the previous version
+    re-shuffled the full edge list through ``hash_join`` every iteration):
+    the edge list is bucketed by ``hash(src) % B`` and pinned in the object
+    store ONCE; per iteration only the NODE-sized rank table is re-bucketed
+    with the same hash, and B raw Ray tasks join edge-bucket i against
+    rank-bucket i (a co-partitioned zip join — the Dataset API cannot
+    express a block-aligned join between two datasets, so this is the
+    documented raw-task seam). Each task pre-aggregates its contributions
+    by dst, so the remaining per-iteration exchanges are all node-sized:
+    rank re-bucketing, the dst merge over per-bucket partials, and the
+    left-outer join back onto the (node, ow) table. ZERO edge-sized
+    exchanges after the one-time bucketing.
+
+    Partitioning assumption: one src-hash bucket of edges plus its ~n/B
+    rank rows fits a worker's heap — raise ``num_buckets`` for bigger
+    graphs or skewed out-degrees. Identical integer arithmetic to the
+    broadcast path (parity-tested at gate 0: tests/test_clustering.py
+    ``test_pagerank_distributed_path_parity``)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyblocks import bucket_of_rows
     from .relational import hash_join, partial_groupby
 
-    enc = enc.materialize()  # re-scanned every iteration (object store)
+    def _split(tbl: pa.Table, key: str, schema: pa.Schema) -> tuple:
+        """One block → B bucket slices. Hash runs over a FIXED column name
+        so the src side and the node side land in the same bucket for the
+        same key value. Upstream exchanges can emit EMPTY blocks with a
+        bare zero-column schema — normalize every block to ``schema`` so
+        the per-bucket ``concat_tables`` in the join task never sees
+        mismatched schemas."""
+        if tbl.num_rows == 0:
+            empty = schema.empty_table()
+            return tuple(empty for _ in range(num_buckets))
+        tbl = tbl.select(schema.names).cast(schema)
+        b = bucket_of_rows(pa.table({"k": tbl[key].combine_chunks()}),
+                           ["k"], num_buckets).to_numpy()
+        order = np.argsort(b, kind="stable")
+        t = tbl.take(pa.array(order))
+        sb = b[order]
+        starts = np.searchsorted(sb, np.arange(num_buckets), side="left")
+        ends = np.searchsorted(sb, np.arange(num_buckets), side="right")
+        return tuple(t.slice(s, e - s) for s, e in zip(starts, ends))
+
+    split_edges = ray.remote(num_returns=num_buckets)(
+        lambda tbl: _split(tbl, "src", _EDGE_SCHEMA))
+    split_ranks = ray.remote(num_returns=num_buckets)(
+        lambda tbl: _split(tbl, "node", _RANK_SCHEMA))
+
+    def _join_bucket(n_rank_parts: int, *parts: pa.Table) -> pa.Table:
+        """Edge-bucket ⨝ rank-bucket on src=node + floor-div contributions,
+        pre-aggregated by dst (≤ distinct-dst rows leave the task)."""
+        rt = pa.concat_tables(parts[:n_rank_parts])
+        et = pa.concat_tables(parts[n_rank_parts:])
+        if len(et) == 0:
+            return _CONTRIB_SCHEMA.empty_table()
+        idx = pc.index_in(et["src"].combine_chunks(),
+                          value_set=rt["node"].combine_chunks())
+        if idx.null_count:
+            raise AssertionError(
+                "pagerank bucket mismatch: edge src missing from its rank "
+                "bucket (hash inconsistency)")
+        si = idx.cast(pa.int64()).to_numpy()
+        rk = rt["rank"].combine_chunks().to_numpy()
+        ow_ = rt["ow"].combine_chunks().to_numpy()
+        w = et["w"].combine_chunks().to_numpy()
+        _check_weights(w)
+        c = rk[si] * w // np.maximum(ow_[si], 1)  # exact int floor
+        out = pa.table({"dst": et["dst"].combine_chunks(),
+                        "c": pa.array(c)})
+        return (out.group_by(["dst"]).aggregate([("c", "sum")])
+                .rename_columns(["dst", "c"]).cast(_CONTRIB_SCHEMA))
+
+    join_bucket = ray.remote(_join_bucket)
+
+    # ONE edge exchange, ever: split each materialized edge block into B
+    # bucket slices (object-store refs; spills under pressure). Bucket i's
+    # edges = the i-th slice of every block.
+    enc = enc.materialize()
+    edge_blocks = enc.to_arrow_refs()
+    edge_splits = [split_edges.remote(ref) for ref in edge_blocks]
+    edge_bucket_refs = [[s[i] for s in edge_splits]
+                        for i in range(num_buckets)]
+
     ow = partial_groupby(enc, ["src"], [("w", "sum", "ow")],
                          merge_blocks=num_buckets // 2)
     ow = ow.map_batches(
@@ -498,19 +601,17 @@ def _pagerank_distributed(enc, nodes_ds, n: int, iters: int,
                 dangling_partial, batch_format="pyarrow").take_all())
         dshare = (damp_num * dangling) // (damp_den * n)
 
-        def contrib(b: pa.Table) -> pa.Table:
-            w = b["w"].combine_chunks().to_numpy()
-            rk = b["rank"].combine_chunks().to_numpy()
-            ow_ = b["ow"].combine_chunks().to_numpy()
-            return pa.table({
-                "dst": b["dst"].combine_chunks(),
-                "c": pa.array(rk * w // np.maximum(ow_, 1)),
-            })
-
-        joined = hash_join(enc, ranks, "src", "node",
-                           num_buckets=num_buckets, join_type="inner")
+        # node-sized: re-bucket the rank table with the same hash, then one
+        # co-partitioned join task per bucket
+        rank_splits = [split_ranks.remote(ref)
+                       for ref in ranks.to_arrow_refs()]
+        contribs = [
+            join_bucket.remote(len(rank_splits),
+                               *[s[i] for s in rank_splits],
+                               *edge_bucket_refs[i])
+            for i in range(num_buckets)]
         in_sums = partial_groupby(
-            joined.map_batches(contrib, batch_format="pyarrow"),
+            rd.from_arrow_refs(contribs),
             ["dst"], [("c", "sum", "s")], merge_blocks=num_buckets // 2)
         in_sums = in_sums.map_batches(
             lambda b: pa.table({"node": b["dst"].combine_chunks(),

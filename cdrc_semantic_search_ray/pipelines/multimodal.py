@@ -124,16 +124,19 @@ class HeaderDecoder:
 
     ``__init__`` is the load-once seam (codec handles / models in a real
     deployment). Batches must stay SMALL for wide binary rows — set
-    ``batch_size`` accordingly at the call site. checksum is a
-    cross-process-stable vectorized 64-bit content hash of the full
-    payload (decimal string) — an integrity tag, not a crypto digest.
+    ``batch_size`` accordingly at the call site. checksum is an md5 digest
+    of the payload bytes (hex) — a PERSISTED column must be
+    library-version-independent (ADVICE r4: the previous polars row hash
+    could drift across polars upgrades); the per-row loop is bounded by
+    the deliberately small batch_size and md5 itself is C-speed over the
+    payload bytes, which dominate.
     """
 
     def __init__(self):
         self._kinds = np.array(KINDS)  # codec-handle slot (load-once seam)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.keyblocks import polars_hash_rows
+        import hashlib
 
         payload = batch["payload"].combine_chunks()
         if len(payload) == 0:
@@ -147,12 +150,13 @@ class HeaderDecoder:
         if mismatch:
             raise ValueError(f"{mismatch} payload headers disagree with "
                              "the declared media_type column")
-        csum = polars_hash_rows(pa.table({"p": payload}), seed=0)
+        csum = [hashlib.md5(payload[i].as_buffer()).hexdigest()
+                for i in range(len(payload))]  # zero-copy buffers, C-speed
         return pa.table({
             "item_id": batch["item_id"].combine_chunks(),
             "media_type": media,
             "n_bytes": pc.binary_length(payload).cast(pa.int64()),
-            "checksum": pc.cast(pa.array(csum), pa.string()),
+            "checksum": pa.array(csum, pa.string()),
             "width": pa.array(rec["width"].astype(np.int32)),
             "height": pa.array(rec["height"].astype(np.int32)),
             "duration_ms": pa.array(rec["duration_ms"].astype(np.int32)),

@@ -1,7 +1,7 @@
 """Authenticated resource fetcher (SURVEY.md S2 — the reference's
-session-authenticated catalogue downloader, /root/reference/src/cdrc.py:
-login-session + per-resource GET with retry, writing payloads it has not
-fetched before).
+session-authenticated catalogue downloader,
+/root/reference/src/query_api.py:96-118: login-session POST + per-resource
+streamed GET, writing payloads it has not fetched before).
 
 The network itself is out of sandbox scope; what the ENGINE owes is the
 data-plane shape around the fetch, and that is fully testable:

@@ -46,6 +46,20 @@ from .manifest import Manifest
 PART_SCHEME = "ahash-mod-v2"
 
 
+def _scheme_probe() -> list[str]:
+    """Observed hash values of fixed sentinel conv_ids (ADVICE r4): polars
+    does NOT guarantee hash_rows stability across versions/platforms, so the
+    scheme string alone can't prove an on-disk layout is still readable —
+    this probes the ACTUAL hash behavior. Stored in _scheme.json; a polars
+    upgrade that changes the hash fails the resume check loudly instead of
+    silently mis-routing conversations."""
+    from ..stages.keyblocks import polars_hash_rows
+
+    sent = pa.table({"conv_id": pa.array(["", "conv-0", "conv-12345",
+                                          "é中", "a" * 64])})
+    return [str(int(h)) for h in polars_hash_rows(sent, seed=0)]
+
+
 def _add_part_id(num_parts: int):
     from ..stages.keyblocks import bucket_of_rows
 
@@ -62,13 +76,24 @@ def _check_scheme(out: Path, man: Manifest, num_parts: int) -> None:
     Outputs are derived and reproducible, so the remedy is always "delete
     the run directory"; raising beats silently mixing two hash layouts."""
     meta_p = out / "_scheme.json"
-    want = {"part_scheme": PART_SCHEME, "num_parts": num_parts}
+    want = {"part_scheme": PART_SCHEME, "num_parts": num_parts,
+            "hash_probe": _scheme_probe()}
     if meta_p.exists():
         have = json.loads(meta_p.read_text())
+        # pre-probe v2 layouts carry no hash_probe: the scheme string still
+        # matches, but we can't prove the hash didn't drift — treat the
+        # missing probe as equal to today's (the layout was written by this
+        # engine lineage) and upgrade the file in place
+        if "hash_probe" not in have and have.get(
+                "part_scheme") == PART_SCHEME:
+            have["hash_probe"] = want["hash_probe"]
+            meta_p.write_text(json.dumps(have))
         if have != want:
             raise ValueError(
                 f"checkpoint dir {out} was written under partition scheme "
-                f"{have}; this build uses {want}. Delete the directory and "
+                f"{have}; this build uses {want} (a hash_probe mismatch "
+                "means the polars row hash changed under the same scheme "
+                "name — e.g. a polars upgrade). Delete the directory and "
                 "rerun (outputs are derived), or pass matching num_parts.")
     elif man.path.exists():
         raise ValueError(

@@ -76,11 +76,30 @@ def test_scheme_guard_refuses_foreign_layout(ray_session, unit_corpus,
     out = tmp_path / "run_guard"
     run_kg_checkpointed(unit_corpus, out, num_parts=2)
     meta = json.loads((out / "_scheme.json").read_text())
-    assert meta == {"part_scheme": PART_SCHEME, "num_parts": 2}
+    assert meta["part_scheme"] == PART_SCHEME
+    assert meta["num_parts"] == 2
+    # ADVICE r4: the scheme file must pin the OBSERVED hash behavior, not
+    # just the scheme name (polars hash_rows is not cross-version-stable)
+    assert len(meta["hash_probe"]) == 5
 
     # different num_parts → refuse
     with pytest.raises(ValueError, match="partition scheme"):
         run_kg_checkpointed(unit_corpus, out, num_parts=4)
+
+    # drifted hash probe under the SAME scheme name (what a polars upgrade
+    # would look like) → refuse
+    drifted = dict(meta, hash_probe=["0"] * 5)
+    (out / "_scheme.json").write_text(json.dumps(drifted))
+    with pytest.raises(ValueError, match="hash_probe"):
+        run_kg_checkpointed(unit_corpus, out, num_parts=2)
+    (out / "_scheme.json").write_text(json.dumps(meta))
+
+    # pre-probe v2 layout (scheme matches, no probe recorded): upgraded in
+    # place, run proceeds
+    (out / "_scheme.json").write_text(json.dumps(
+        {"part_scheme": PART_SCHEME, "num_parts": 2}))
+    run_kg_checkpointed(unit_corpus, out, num_parts=2)
+    assert "hash_probe" in json.loads((out / "_scheme.json").read_text())
 
     # pre-v2 layout (manifest but no scheme marker) → refuse
     (out / "_scheme.json").unlink()
