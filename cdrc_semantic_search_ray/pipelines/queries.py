@@ -2063,9 +2063,11 @@ def q67_kmeans_clusters(sf_dir: str):
     curation primitive — pipelines/clustering.py): centroids broadcast per
     Lloyd's iteration, assignment = one exact integer matmul per batch,
     update = two-level combiner.  Exact fixed-point arithmetic makes the
-    result bit-identical at any parallelism (no SQL oracle — iterative;
-    tests/test_clustering.py pins parity vs a pure-numpy reference and
-    partitioning invariance)."""
+    result bit-identical at any parallelism — which is what lets a SQL
+    oracle exist at all for an iterative algorithm: ``_SQL_Q67`` chains
+    one materialized CTE per Lloyd's iteration with the identical
+    integer/rounding semantics (round-4 VERDICT next #6; also pinned by
+    tests/test_clustering.py numpy-parity + partition-invariance)."""
     from .clustering import kmeans
 
     embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2081,9 +2083,12 @@ def q68_semantic_dedup(sf_dir: str):
     """SemDeDup pruning (cluster, rank by closeness to centroid, prune any
     member within threshold of a higher-ranked one; Abbas et al. 2023).
     The chunked triangular pairwise pass runs per cluster — the k-means
-    pre-pass is what bounds the quadratic term (no SQL oracle — built on
-    iterative k-means; tests/test_clustering.py plants exact duplicates
-    and checks exactly one copy per family survives)."""
+    pre-pass is what bounds the quadratic term.  Full value-hash SQL
+    oracle (``_SQL_Q68``): the q67 k-means CTE chain extended with the
+    rank/max-prior self-join — exact fixed-point arithmetic makes even
+    this two-stage iterative pipeline DuckDB-derivable;
+    tests/test_clustering.py additionally plants exact duplicates and
+    checks exactly one copy per family survives."""
     from .clustering import semantic_dedup
 
     embs = R.read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2102,9 +2107,11 @@ def q69_pagerank_entities(sf_dir: str):
     """Weighted PageRank over the knowledge-graph edge list built by the
     flagship pipeline — ranks canonical entities by centrality (the
     graph-analytics consumer the KG exists for).  Exact int64 fixed-point
-    power iteration ⇒ bit-identical at any parallelism (no SQL oracle —
-    iterative; tests/test_clustering.py pins parity vs a dense numpy
-    reference with the identical integer semantics)."""
+    power iteration ⇒ bit-identical at any parallelism.  Rows-only here —
+    the KG edge list is built from synthetic transcripts the driver's
+    DuckDB can't derive — but the IDENTICAL kernel is value-hash-checked
+    by q73_pagerank_trade over a SQL-derivable edge list, and
+    tests/test_clustering.py pins parity vs a dense numpy reference."""
     from .clustering import pagerank
 
     return pagerank(_kg_arts(sf_dir)["edges"], src="subj", dst="obj",
@@ -2278,6 +2285,320 @@ FROM documents GROUP BY lang
 """
 
 
+def q73_pagerank_trade(sf_dir: str):
+    """Weighted PageRank over the nation-to-nation trade graph (supplier
+    nation → customer nation, weight = lineitem count): the SQL-derivable
+    twin of q69 (round-4 VERDICT next #6).  q69's own input — the KG edge
+    list built from synthetic transcripts — is not derivable in the
+    driver's DuckDB, so the exact-int64 power-iteration kernel gets its
+    full value-hash oracle HERE, over an edge list both engines can build
+    (``_SQL_Q73`` chains one materialized CTE per iteration with the
+    identical floor arithmetic; bit-equality prototyped at sf0.01).
+
+    Edge build: customer/supplier/nation are dimension tables → composed
+    driver-side and broadcast-attached (``ray.put`` once); the one real
+    exchange is lineitem ⋈ orders on orderkey (bucketed ``hash_join``),
+    then the per-(src, dst) count combiner collapses to ≤ nations² rows
+    before :func:`~.clustering.pagerank` runs its node-sized iterations.
+    """
+    from .clustering import pagerank
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    sup_nat = sup.join(nat, keys=["s_nationkey"],
+                       right_keys=["n_nationkey"]) \
+        .select(["s_suppkey", "n_name"]).rename_columns(["s_suppkey", "src"])
+    cust_nat = cust.join(nat, keys=["c_nationkey"],
+                         right_keys=["n_nationkey"]) \
+        .select(["c_custkey", "n_name"]).rename_columns(["c_custkey", "dst"])
+
+    li = R.read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = R.read_table(sf_dir, "orders",
+                          columns=["o_orderkey", "o_custkey"])
+    li_src = R.broadcast_join(li, sup_nat, "l_suppkey", "s_suppkey") \
+        .map_batches(lambda b: b.select(["l_orderkey", "src"]),
+                     batch_format="pyarrow")
+    ord_dst = R.broadcast_join(orders, cust_nat, "o_custkey", "c_custkey") \
+        .map_batches(lambda b: b.select(["o_orderkey", "dst"]),
+                     batch_format="pyarrow")
+    pairs = R.hash_join(li_src, ord_dst, "l_orderkey", "o_orderkey")
+    edges = R.partial_groupby(
+        pairs.map_batches(
+            lambda b: pa.table({
+                "src": b["src"].combine_chunks(),
+                "dst": b["dst"].combine_chunks(),
+                "w": pa.array(np.ones(len(b), dtype=np.int64))}),
+            batch_format="pyarrow"),
+        ["src", "dst"], [("w", "sum", "w")], merge_blocks=2)
+    return pagerank(edges, src="src", dst="dst", weight="w", iters=10)
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Chained-CTE DuckDB mirror of :func:`~.clustering.kmeans` (exact
+    fixed-point — see that module's determinism discipline):
+
+    - ``enc``: per-row L2-normalize then quantize to e6 (DuckDB ``round``
+      is half-away-from-zero, same as the engine's copysign-floor).
+    - ``c0``: the k seed rows — smallest ``id * golden-ratio-mix mod 2^64``
+      (HUGEINT product, exact), ties on id, matching ``_seed_pick``.
+    - per iteration: argmax-cosine assignment (ties → lowest cluster, the
+      ``row_number`` tiebreak), integer component sums / count, re-quantize;
+      empty clusters keep their centroid (the ``COALESCE``).
+    - dots of e6 integer vectors are exactly representable in float64 for
+      dim ≤ ~9000, so ``list_dot_product`` equals the engine's matmul
+      bit-for-bit and every comparison/round lands identically.
+
+    CTEs are MATERIALIZED: each ``a{{i}}`` is referenced by three later
+    CTEs — inline expansion would re-derive the whole chain exponentially.
+    """
+    ctes = [f"""
+enc AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(emb, x -> round((x / nrm) * 1e6)) AS v
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
+               greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                     x -> x*x))), 1e-12) AS nrm
+        FROM embeddings)
+),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY
+           (CAST(id AS HUGEINT) * 11400714819323198485)
+             % 18446744073709551616 ASC, id ASC) - 1 AS cluster,
+         v AS c
+  FROM enc
+  QUALIFY cluster < {k}
+)"""]
+    for i in range(iters):
+        ctes.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT id, v, cluster FROM (
+    SELECT e.id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.cluster ASC) AS rn
+    FROM enc e, c{i} c) WHERE rn = 1
+),
+n{i} AS MATERIALIZED (
+  SELECT cluster, count(*)::BIGINT AS n FROM a{i} GROUP BY cluster),
+m{i} AS MATERIALIZED (
+  SELECT cluster, list(mu ORDER BY idx) AS m FROM (
+    SELECT cluster, idx, sum(x) / any_value(n) AS mu FROM (
+      SELECT a.cluster, generate_subscripts(a.v, 1) AS idx,
+             unnest(a.v) AS x, n.n
+      FROM a{i} a JOIN n{i} n USING (cluster))
+    GROUP BY cluster, idx)
+  GROUP BY cluster
+),
+c{i + 1} AS MATERIALIZED (
+  SELECT cluster, list_transform(m, x -> round((x / nrm) * 1e6)) AS c
+  FROM (SELECT c.cluster, COALESCE(m.m, c.c) AS m,
+               greatest(sqrt(list_sum(list_transform(COALESCE(m.m, c.c),
+                                                     x -> x*x))), 1e-12) AS nrm
+        FROM c{i} c LEFT JOIN m{i} m USING (cluster))
+)""")
+    # final assignment vs the post-iteration centroids (kmeans' finalize
+    # pass) — exposed as a CTE so q68's SemDeDup oracle can chain on it
+    ctes.append(f"""
+asg AS MATERIALIZED (
+  SELECT id, v, cluster, dot,
+         CAST(round((dot / 1e12) * 1e6) AS BIGINT) AS sim_e6
+  FROM (
+    SELECT e.id, e.v, c.cluster, list_dot_product(e.v, c.c) AS dot,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY list_dot_product(e.v, c.c) DESC,
+                                       c.cluster ASC) AS rn
+    FROM enc e, c{iters} c) WHERE rn = 1
+)""")
+    return ",".join(ctes)
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iters)}
+SELECT id AS vec_id, cluster, sim_e6 FROM asg
+"""
+
+
+def _semdedup_oracle_sql(k: int, iters: int, threshold_e6: int) -> str:
+    """Chained-CTE DuckDB mirror of :func:`~.clustering.semantic_dedup` on
+    top of the k-means chain: rank cluster members by (sim_e6 DESC, id ASC)
+    — the engine's sort keys, on the ROUNDED similarity — and take each
+    member's max exact-e12 dot against all strictly higher-ranked members
+    (rounded after the max; rounding is monotone so max-then-round equals
+    the engine's round-of-max).  Exemplar = rank 1, sentinel -1e6.  The
+    O(|cluster|²) self-join is exactly the semantics the engine's chunked
+    triangular pass computes — fine at oracle scale, which is the point of
+    the k-means bound at real scale."""
+    return f"""
+WITH {_kmeans_ctes(k, iters)},
+rk AS MATERIALIZED (
+  SELECT id, v, cluster, sim_e6,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY sim_e6 DESC, id ASC) AS rn
+  FROM asg
+),
+prior AS (
+  SELECT a.id, max(list_dot_product(a.v, b.v)) AS mx
+  FROM rk a JOIN rk b ON a.cluster = b.cluster AND b.rn < a.rn
+  GROUP BY a.id
+)
+SELECT r.id AS vec_id, r.cluster, ex.id AS exemplar_id,
+       COALESCE(CAST(round((p.mx / 1e12) * 1e6) AS BIGINT),
+                -1000000) AS max_prior_sim_e6,
+       COALESCE(CAST(round((p.mx / 1e12) * 1e6) AS BIGINT),
+                -1000000) < {threshold_e6} AS kept
+FROM rk r
+LEFT JOIN prior p ON r.id = p.id
+JOIN rk ex ON ex.cluster = r.cluster AND ex.rn = 1
+"""
+
+
+_SQL_Q67 = _kmeans_oracle_sql(k=8, iters=4)
+_SQL_Q68 = _semdedup_oracle_sql(k=8, iters=4, threshold_e6=950_000)
+
+_Q73_EDGES_SQL = """
+SELECT sn.n_name AS src, cn.n_name AS dst, count(*)::BIGINT AS w
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name
+"""
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Chained-CTE DuckDB mirror of :func:`~.clustering.pagerank` over the
+    q73 trade edges — identical int64 floor arithmetic (all quantities
+    nonnegative, so DuckDB ``//`` == numpy floor division; per-node input
+    sums are exact integer sums in any order).  One materialized CTE per
+    power iteration: contributions ``rank_src * w // greatest(outw, 1)``,
+    dangling mass from zero-out-weight nodes, teleport + damped shares via
+    the same ``// (100 * n)`` floors as the engine."""
+    ctes = [f"edges AS MATERIALIZED ({_Q73_EDGES_SQL})", """
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+                       UNION SELECT DISTINCT dst FROM edges),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+ow AS MATERIALIZED (
+  SELECT n.node, COALESCE(o.s, 0)::BIGINT AS outw
+  FROM nodes n LEFT JOIN (SELECT src, sum(w)::BIGINT AS s
+                          FROM edges GROUP BY src) o ON n.node = o.src
+),
+r0 AS MATERIALIZED (
+  SELECT node, (1000000000000 // nn.n)::BIGINT AS rank FROM nodes, nn)"""]
+    for i in range(iters):
+        ctes.append(f"""
+ins{i} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         sum((r.rank * e.w) // greatest(o.outw, 1))::BIGINT AS in_sum
+  FROM edges e
+  JOIN r{i} r ON e.src = r.node
+  JOIN ow o ON e.src = o.node
+  GROUP BY e.dst
+),
+dg{i} AS MATERIALIZED (
+  SELECT COALESCE(sum(r.rank), 0)::BIGINT AS dangling
+  FROM r{i} r JOIN ow o ON r.node = o.node WHERE o.outw = 0
+),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         ((15 * 1000000000000) // (100 * nn.n)
+          + (85 * dg{i}.dangling) // (100 * nn.n)
+          + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+  FROM nodes n
+  LEFT JOIN ins{i} s ON n.node = s.node, nn, dg{i}
+)""")
+    return f"""
+WITH {','.join(ctes)}
+SELECT node, rank AS rank_fx FROM r{iters}
+"""
+
+
+_SQL_Q73 = _pagerank_oracle_sql(iters=10)
+
+
+def _vis_planes_e6(dim: int = 64, seed: int = 42) -> np.ndarray:
+    """The q74 projection planes: the engine's seeded SRP hyperplanes
+    (stages/blocking._planes — the same generator the IVF/LSH family
+    uses), first two, quantized to e6 integers (house rounding).  ONE
+    source of truth for both engines: the Ray path projects with these
+    ints, the SQL oracle inlines the identical ints as literals."""
+    from ..stages.blocking import _planes
+
+    p = _planes(dim, 2, seed).astype(np.float64) * 1e6
+    return np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
+
+
+def q74_visualise_embeddings(sf_dir: str):
+    """2-D embedding export for visualization — the analogue of the
+    reference's demo script (/root/reference/src/visualise_embeddings.py:
+    11-31: fetch vectors + titles from Pinecone, project via nomic atlas).
+    Here: (vec_id, title, x_fx, y_fx) where (x, y) is the deterministic
+    SRP projection — unit-normalize, e6-quantize (the engine's standard
+    encoding), dot with two seeded hyperplanes also e6-quantized, so every
+    coordinate is an exact integer ≤ dim·1e12 (exact in float64 ⇒
+    bit-identical at any parallelism, and SQL-mirrorable: the oracle
+    inlines the plane ints as literals).  Title = first 40 chars of the
+    document text (the reference exports Pinecone's title metadata).
+
+    Scale shape: the projection is a per-batch matmul (no exchange); the
+    title attach is the one bucketed ``hash_join`` on doc id.  A plot
+    consumer samples/limits downstream — the export itself streams."""
+    from ..functions.arrays import list_matrix
+
+    planes = _vis_planes_e6()  # (dim, 2) small — rides the UDF closure
+
+    def proj(b: pa.Table) -> pa.Table:
+        m = list_matrix(b, "embedding", np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        x = 1e6 * m
+        v = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        xy = v @ planes  # int64 exact: |dot| ≤ 64 · 1e6 · ~5e6 ≪ 2^63
+        return pa.table({"vec_id": b["vec_id"].combine_chunks(),
+                         "x_fx": pa.array(xy[:, 0]),
+                         "y_fx": pa.array(xy[:, 1])})
+
+    embs = R.read_table(sf_dir, "embeddings",
+                        ["vec_id", "embedding"]).map_batches(
+        proj, batch_format="pyarrow")
+    titles = R.read_table(sf_dir, "documents",
+                          ["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"].combine_chunks(),
+            "title": pc.utf8_slice_codeunits(
+                b["text"].combine_chunks(), 0, 40)}),
+        batch_format="pyarrow")
+    return R.hash_join(embs, titles, "vec_id", "doc_id")
+
+
+def _vis_oracle_sql() -> str:
+    px, py = (", ".join(str(int(c)) for c in _vis_planes_e6()[:, j])
+              for j in (0, 1))
+    return f"""
+WITH enc AS (
+  SELECT vec_id,
+         list_transform(emb, x -> round((x / nrm) * 1e6)) AS v
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS emb,
+               greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                     x -> x*x))), 1e-12) AS nrm
+        FROM embeddings)
+)
+SELECT e.vec_id,
+       CAST(list_dot_product(e.v, [{px}]::DOUBLE[]) AS BIGINT) AS x_fx,
+       CAST(list_dot_product(e.v, [{py}]::DOUBLE[]) AS BIGINT) AS y_fx,
+       substr(d.text, 1, 40) AS title
+FROM enc e JOIN documents d ON e.vec_id = d.doc_id
+"""
+
+
+_SQL_Q74 = _vis_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries over the synthetic transcript corpus (rows-only: the
 # transcripts table is not registered in the driver's DuckDB; correctness is
@@ -2397,6 +2718,18 @@ def kg_nodes(sf_dir: str):
 #                      the same capability inside (count(DISTINCT source))
 # horizon slots; every rotated-out entry is re-verified each session by
 # tests/test_registry.py's oracle sweep)
+# Round-5 rotation: q73_pagerank_trade (NEW — the SQL-derivable oracle twin
+# of q69's PageRank kernel; new operators must not land in the blind spot)
+# takes the slot of:
+#   q52_running_total  window family keeps q38/q40/q44 driver rows; its
+#                      cumulative-sum kernel stays oracle-checked by
+#                      tests/test_registry.py each session (4 green driver
+#                      rows, rounds 1-4)
+# and q74_visualise_embeddings (NEW — the reference visualise_embeddings.py
+# analogue: SRP 2-D export, full value-hash oracle) takes the slot of:
+#   q46_pushdown_scan  S5 column/filter pushdown is exercised by EVERY
+#                      query's read path; its dedicated oracle stays in
+#                      tests/test_registry.py's sweep (4 green driver rows)
 # ---------------------------------------------------------------------------
 
 DRIVER_HORIZON = 50  # the driver records rows for this many entries
@@ -2432,12 +2765,12 @@ QUERIES = {
     "q41_embedding_centroids": q41_embedding_centroids,
     "q43_tfidf_top_terms": q43_tfidf_top_terms,
     "q44_range_join": q44_range_join,
-    "q46_pushdown_scan": q46_pushdown_scan,
+    "q74_visualise_embeddings": q74_visualise_embeddings,
     "q48_composite_join": q48_composite_join,
     "q49_approx_distinct": q49_approx_distinct,
     "q50_approx_quantiles": q50_approx_quantiles,
     "q51_shuffled_export": q51_shuffled_export,
-    "q52_running_total": q52_running_total,
+    "q73_pagerank_trade": q73_pagerank_trade,
     "q53_approx_top_tokens": q53_approx_top_tokens,
     "q55_response_split": q55_response_split,
     "q56_generate_answers": q56_generate_answers,
@@ -2477,6 +2810,8 @@ QUERIES = {
     "q34_csv_roundtrip": q34_csv_roundtrip,
     "q36_strip_html": q36_strip_html,
     "q37_read_text_mining": q37_read_text_mining,
+    "q52_running_total": q52_running_total,
+    "q46_pushdown_scan": q46_pushdown_scan,
     "q32_render_notes": q32_render_notes,
     "q06_count_by_group": q06_count_by_group,
 }
@@ -2537,7 +2872,11 @@ ORACLE_SQL = {
     "q64_quantize_embeddings": _SQL_Q64,
     "q65_repetition_quality": _SQL_Q65,
     "q66_pack_sequences": _SQL_Q66,
+    "q67_kmeans_clusters": _SQL_Q67,
+    "q68_semantic_dedup": _SQL_Q68,
     "q70_temperature_resample": _SQL_Q70,
     "q71_lm_quality": _SQL_Q71,
     "q72_dataset_card": _SQL_Q72,
+    "q73_pagerank_trade": _SQL_Q73,
+    "q74_visualise_embeddings": _SQL_Q74,
 }

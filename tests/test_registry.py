@@ -35,6 +35,8 @@ MUST_BE_INSIDE = {
     "q67_kmeans_clusters", "q68_semantic_dedup",
     "q69_pagerank_entities", "q70_temperature_resample",
     "q71_lm_quality", "q72_dataset_card",
+    "q73_pagerank_trade",  # round-5: oracle twin of q69's kernel
+    "q74_visualise_embeddings",  # round-5: visualise_embeddings analogue
     "kg_conversations",
 }
 # redundantly-evidenced entries rotated out (each verified below or by the
@@ -52,6 +54,9 @@ ROTATED_OUT = {
     # late-round-4 rotation for q67-q71 (each with FOUR green driver rows)
     "q33_param_sweep", "q34_csv_roundtrip", "q36_strip_html",
     "q37_read_text_mining", "q32_render_notes", "q06_count_by_group",
+    # round-5 rotation for q73/q74 (window family keeps q38/q40/q44
+    # inside; S5 pushdown is exercised by every query's read path)
+    "q52_running_total", "q46_pushdown_scan",
 }
 
 
@@ -83,9 +88,11 @@ def test_every_registered_query_has_evidence():
         "q49_approx_distinct", "q50_approx_quantiles",
         "q53_approx_top_tokens", "kg_conversations", "kg_mentions",
         "kg_triples",
-        # iterative (no single-statement SQL): numpy-reference bit-exact
-        # parity + invariance pytests in tests/test_clustering.py
-        "q67_kmeans_clusters", "q68_semantic_dedup",
+        # iterative over a non-SQL-derivable input (q69's edges come from
+        # synthetic transcripts the driver's DuckDB can't build): numpy
+        # bit-exact parity + invariance pytests in tests/test_clustering.py;
+        # the PageRank KERNEL is oracle-checked via q73's chained-CTE SQL
+        # (q67 k-means and q68 SemDeDup carry full SQL oracles themselves)
         "q69_pagerank_entities",
     }
     for name in list(QUERIES)[:DRIVER_HORIZON]:
@@ -129,7 +136,11 @@ def test_q41_broadcast_matches_join_path(ray_session):
                                   "q06_count_by_group", "q32_render_notes",
                                   "q33_param_sweep", "q34_csv_roundtrip",
                                   "q36_strip_html",
-                                  "q37_read_text_mining"])
+                                  "q37_read_text_mining",
+                                  # round-5 rotations (q73/q74 took
+                                  # their slots)
+                                  "q52_running_total",
+                                  "q46_pushdown_scan"])
 def test_rotated_oracle_queries(ray_session, name):
     from conftest import duckdb_oracle
 
