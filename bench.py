@@ -322,8 +322,73 @@ def run_scaling() -> dict:
     return result
 
 
+def run_session_soak() -> dict:
+    """Repeated build_graph in ONE Ray session (round-4 BASELINE caveat /
+    round-4 VERDICT next #2: reps 2-3 once measured 74-78 s vs ~47 s fresh
+    at 16M turns, cause unknown).  A real cluster runs many jobs per
+    session, so repeated-run stability is operational correctness, not a
+    bench footnote.  Prints per-rep seconds + driver RSS; ``degraded`` is
+    true if any rep beyond the first exceeds rep 1 by >15 %.
+
+    Corpus sized by $GRAFT_SOAK_CONVS (default 2M convs ≈ 16M turns — the
+    scale where the round-4 caveat was recorded)."""
+    import gc
+    import shutil
+
+    import ray
+    from ray.data import DataContext
+
+    n_convs = int(os.environ.get("GRAFT_SOAK_CONVS", "2000000"))
+    n_reps = int(os.environ.get("GRAFT_SOAK_REPS", "3"))
+
+    def rss_mb() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) // 1024
+        return -1
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from cdrc_semantic_search_ray.config import DEFAULT_CONFIG as cfg
+    from cdrc_semantic_search_ray.fixtures import generate_corpus
+    from cdrc_semantic_search_ray.pipelines import kg as K
+
+    corpus = str(Path("/tmp/cdrc_bench_corpus") / f"convs{n_convs}")
+    generate_corpus(corpus, n_convs=n_convs, seed=42)
+    out_dir = f"/tmp/cdrc_bench_out/soak{NUM_CPUS}"
+    _warm_cluster()
+
+    reps: list[dict] = []
+    for rep in range(n_reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        gc.collect()  # drop prior reps' Dataset refs before timing
+        load = round(os.getloadavg()[0], 2)
+        t0 = time.time()
+        K.build_graph(corpus, cfg, out_dir=out_dir)
+        reps.append({"rep": rep, "sec": round(time.time() - t0, 2),
+                     "driver_rss_mb": rss_mb(), "loadavg_before": load})
+    secs = [r["sec"] for r in reps]
+    result = {
+        "metric": f"build_graph x{n_reps} in one Ray session "
+                  f"({n_convs} convs)",
+        "value": round(max(secs[1:]) / secs[0], 3) if len(secs) > 1 else 1.0,
+        "unit": "worst_late_rep_over_rep1",
+        "reps": reps,
+        "degraded": any(s > secs[0] * 1.15 for s in secs[1:]),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--session-soak" in sys.argv:
+        print(json.dumps(run_session_soak()))
     else:
         print(json.dumps(run_once()))

@@ -681,11 +681,20 @@ def q28_langid(sf_dir: str):  # rows-only (heuristic model stand-in)
     return T.language_id(R.read_table(sf_dir, "documents", ["doc_id", "text"]))
 
 
-def q29_multimodal_features(sf_dir: str):  # rows-only (stubbed decode)
+def q29_multimodal_features(sf_dir: str):
     """Real binary-file ingestion: documents → payload files on disk →
     ``ray.data.read_binary_files`` (sources/binary.py) → actor-pool decode.
     The on-disk hop exercises the actual source operator (round-2 item:
-    synthesize_payloads was a stand-in)."""
+    synthesize_payloads was a stand-in).
+
+    Full value-hash SQL oracle (``_SQL_Q29``) over every column EXCEPT the
+    md5 payload checksum, which is projected away here because the
+    driver's DuckDB has no md5(BLOB) (only md5(VARCHAR), and the payload
+    header is arbitrary bytes) — the checksum value is pinned by
+    tests/test_sources.py instead.  The oracle re-derives the header fields
+    (width/height/duration via the writer's Knuth-multiplier mix, n_bytes
+    = 13-byte header + utf-8 body) straight from ``documents``, so a
+    wrong parse, a wrong slice, or a mangled byte order all hash-mismatch."""
     import shutil
 
     from ..sources.binary import read_payload_files, write_payload_files
@@ -694,7 +703,9 @@ def q29_multimodal_features(sf_dir: str):  # rows-only (stubbed decode)
     shutil.rmtree(out, ignore_errors=True)  # never reuse a stale fixture dir
     write_payload_files(
         R.read_table(sf_dir, "documents", ["doc_id", "text"]), out)
-    return MM.decode_features(read_payload_files(out))
+    feats = MM.decode_features(read_payload_files(out))
+    return feats.map_batches(lambda b: b.drop_columns(["checksum"]),
+                             batch_format="pyarrow")
 
 
 def _mine_words(ds, min_len: int = 5, limit: int = 50):
@@ -2521,6 +2532,28 @@ SELECT node, rank AS rank_fx FROM r{iters}
 
 _SQL_Q73 = _pagerank_oracle_sql(iters=10)
 
+# q29: re-derive the multimodal header fields from documents — the writer
+# stamps width/height/duration from a Knuth-multiplier mix of the id
+# (pipelines/multimodal.media_dims: h = (id * 2654435761) mod 2^32;
+# audio has no dims, images no duration) and the decoder must read them
+# back bit-for-bit through the 13-byte packed header.  kind = id % 3.
+_SQL_Q29 = """
+SELECT doc_id AS item_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       13 + octet_length(encode(text)) AS n_bytes,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                 ELSE 64 + hh % 1857 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 0
+                 ELSE 64 + (hh // 2048) % 1017 END AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                 ELSE 500 + hh % 600000 END AS INTEGER) AS duration_ms
+FROM (SELECT doc_id, text,
+             CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                  % 4294967296 AS BIGINT) AS hh
+      FROM documents)
+"""
+
 
 def _vis_planes_e6(dim: int = 64, seed: int = 42) -> np.ndarray:
     """The q74 projection planes: the engine's seeded SRP hyperplanes
@@ -2839,6 +2872,7 @@ ORACLE_SQL = {
     "q25_token_count": _SQL_Q25,
     "q26_text_quality": _SQL_Q26,
     "q27_fingerprint": _SQL_Q27,
+    "q29_multimodal_features": _SQL_Q29,
     "q30_log_mining": _SQL_Q30,
     "q31_json_props": _SQL_Q31,
     "q32_render_notes": _SQL_Q32,

@@ -84,7 +84,7 @@ def test_every_registered_query_has_evidence():
         # docstring); bounded-error or golden pytests are their evidence
         "q18_minhash_lsh_dedup", "q19_simhash_dedup",
         "q20_ngram_jaccard_dedup", "q22_embedding_neardup_lsh",
-        "q24_similarity_ivf", "q28_langid", "q29_multimodal_features",
+        "q24_similarity_ivf", "q28_langid",
         "q49_approx_distinct", "q50_approx_quantiles",
         "q53_approx_top_tokens", "kg_conversations", "kg_mentions",
         "kg_triples",

@@ -73,6 +73,13 @@ def test_header_decode_parses_payload_bytes(ray_session):
     assert feats["height"].tolist() == h.astype(int).tolist()
     assert feats["duration_ms"].tolist() == d.astype(int).tolist()
     assert (feats["n_bytes"] == [len(p) for p in payloads]).all()
+    # checksum = md5 of the WHOLE payload (header + body) — the one column
+    # the q29 SQL oracle can't mirror (DuckDB has no md5(BLOB)), so its
+    # value is pinned here
+    import hashlib
+
+    assert feats["checksum"].tolist() == [
+        hashlib.md5(p).hexdigest() for p in payloads]
 
     # corrupt magic → loud failure
     bad = pa.table({
