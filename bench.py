@@ -129,7 +129,11 @@ def bench_queries() -> tuple[dict[str, float], dict]:
              "q63_decontaminate", "q67_kmeans_clusters",
              "q68_semantic_dedup", "q69_pagerank_entities",
              "q70_temperature_resample", "q71_lm_quality",
-             "q72_dataset_card"]
+             "q72_dataset_card",
+             # round-5 additions: PageRank over a relational edge build
+             # (hash_join + combiner + node iterations) and the SRP 2-D
+             # export (projection matmul + one bucketed join)
+             "q73_pagerank_trade", "q74_visualise_embeddings"]
     raw: list[dict] = []
     best: dict[str, float] = {}
     for rep in range(BENCH_REPS):

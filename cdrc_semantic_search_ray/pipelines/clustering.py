@@ -336,6 +336,10 @@ def assign_to_centroids(embeddings, centroids_e6: np.ndarray,
 
 PR_SCALE = 10**12  # rank mass fixed-point: total initial mass = PR_SCALE
 MAX_NODE_BROADCAST = 2_000_000
+# indexed edges (si, di, w — 24 B/row) at or below this count iterate on
+# the driver (~100 MB): per-iteration Ray jobs only pay off once the edge
+# scan dominates fixed job overhead
+MAX_EDGE_DRIVER = 4_000_000
 # per-edge contribution is rank_i * w_e (both int64) BEFORE the floor-div;
 # rank_i ≤ PR_SCALE (total mass is conserved minus floor loss), so weights
 # above this bound could silently wrap int64 (ADVICE r4) — guarded per batch
@@ -353,7 +357,8 @@ def _check_weights(w: np.ndarray) -> None:
 def pagerank(edges, src: str = "subj", dst: str = "obj",
              weight: str = "weight", iters: int = 10,
              damp_num: int = 85, damp_den: int = 100,
-             node_broadcast_limit: int = MAX_NODE_BROADCAST):
+             node_broadcast_limit: int = MAX_NODE_BROADCAST,
+             edge_driver_limit: int = MAX_EDGE_DRIVER):
     """Weighted PageRank by power iteration; returns a Dataset of
     ``(node, rank_fx)`` with ``rank_fx`` int64 e12 fixed-point (initial
     total mass = 1e12).  Row ORDER is unspecified (Dataset semantics —
@@ -369,12 +374,16 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
     (ADVICE r4).  Dangling mass (out-weight 0) and the
     teleport term redistribute uniformly with the same floor arithmetic.
 
-    Scale shape: the edge list is the big side; endpoints are resolved to
-    dense node indices ONCE and the indexed edges materialized (object
-    store, spills).  The rank vector is node-sized: at or below
-    ``node_broadcast_limit`` nodes it broadcasts via ``ray.put`` and each
-    iteration is one edge scan emitting per-batch dst-partial sums
-    (non-zero entries only) collected to the driver.  Beyond the gate a
+    Scale shape (three tiers, all bit-identical): the edge list is the
+    big side; endpoints are resolved to dense node indices ONCE and the
+    indexed edges materialized (object store, spills).  The rank vector
+    is node-sized: at or below ``node_broadcast_limit`` nodes it
+    broadcasts via ``ray.put`` and each iteration is one edge scan
+    emitting per-batch dst-partial sums (non-zero entries only) collected
+    to the driver — unless the indexed edge list ITSELF fits the driver
+    (≤ ``edge_driver_limit`` rows), in which case the iterations run
+    in-process with zero per-iteration jobs (integer sums are
+    associative, so partial-then-merge ≡ one pass).  Beyond the gate a
     node-sized vector no longer fits one machine and the rank table stays
     a Dataset — each iteration becomes a bucketed ``hash_join`` (src) +
     ``partial_groupby`` (dst) + a left-outer join back onto the node
@@ -387,12 +396,18 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
 
     from ..stages.keyblocks import distinct_by
 
+    # materialized: pagerank takes MULTIPLE passes over the edge list
+    # (node distinct, out-weight scan, index resolve, then the iterations)
+    # — on a lazy input each pass would otherwise RE-EXECUTE the caller's
+    # whole upstream pipeline (measured 3× the q73 join cost, round 5).
+    # One edge-sized copy in the object store (spills under pressure) is
+    # the documented price of every multi-pass graph algorithm here.
     enc = edges.map_batches(
         lambda b: pa.table({
             "src": b[src].combine_chunks().cast(pa.string()),
             "dst": b[dst].combine_chunks().cast(pa.string()),
             "w": b[weight].combine_chunks().cast(pa.int64()),
-        }), batch_format="pyarrow")
+        }), batch_format="pyarrow").materialize()
 
     def ends(b: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays(
@@ -443,6 +458,36 @@ def pagerank(edges, src: str = "subj", dst: str = "obj",
     eidx = enc.map_batches(to_idx, batch_format="pyarrow").materialize()
 
     rank = np.full(n, PR_SCALE // n, dtype=np.int64)
+
+    # Driver-local iteration gate (round-5 bench finding: q73's 25-node /
+    # 625-edge graph spent 8.6 s paying 10× full-Ray-job overhead in the
+    # loop below).  When the INDEXED edge list itself fits the driver
+    # (edge_driver_limit rows ≈ 24 B each), collect it once and run the
+    # identical integer arithmetic in-process: every quantity (rank, outw,
+    # in_sum) is already driver-resident on this path, and integer sums
+    # are associative, so the result is bit-identical to the scan path
+    # (pinned by tests/test_clustering.py edge-gate parity).  The per-
+    # iteration Ray jobs only pay off when the edge SCAN dominates job
+    # overhead — far above this bound.
+    if eidx.count() <= edge_driver_limit:
+        parts = list(eidx.iter_batches(batch_format="pyarrow",
+                                       batch_size=None))
+        et = pa.concat_tables(parts)
+        si = et["si"].to_numpy().astype(np.int64)
+        di = et["di"].to_numpy().astype(np.int64)
+        w = et["w"].to_numpy().astype(np.int64)
+        _check_weights(w)
+        for _ in range(iters):
+            c = rank[si] * w // np.maximum(outw[si], 1)  # exact int floor
+            in_sum = np.zeros(n, dtype=np.int64)
+            np.add.at(in_sum, di, c)
+            dangling = int(rank[outw == 0].sum())
+            teleport = ((damp_den - damp_num) * PR_SCALE) // (damp_den * n)
+            dshare = (damp_num * dangling) // (damp_den * n)
+            rank = teleport + dshare + (damp_num * in_sum) // damp_den
+        return rd.from_arrow(pa.table({
+            "node": node_arr, "rank_fx": pa.array(rank.astype(np.int64))}))
+
     for _ in range(iters):
         rref = ray.put((rank, outw))
 

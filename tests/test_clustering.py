@@ -223,6 +223,22 @@ def test_pagerank_distributed_path_parity(ray_session):
     assert dist == bc
 
 
+def test_pagerank_edge_gate_parity(ray_session):
+    """Edge-gate-0 parity (round-5 driver-local fast path): forcing the
+    per-iteration Ray scan (edge gate 0) must reproduce the driver-local
+    iteration's ranks exactly — same integer arithmetic, only the
+    execution venue differs."""
+    import ray.data as rd
+
+    items = [{"subj": s, "obj": o, "weight": w} for s, o, w in _EDGES]
+    local = {r["node"]: r["rank_fx"]
+             for r in C.pagerank(rd.from_items(items), iters=6).take_all()}
+    scan = {r["node"]: r["rank_fx"]
+            for r in C.pagerank(rd.from_items(items), iters=6,
+                                edge_driver_limit=0).take_all()}
+    assert scan == local
+
+
 def test_pagerank_sink_dominates(ray_session):
     """Sanity on semantics: a node every edge points at outranks the
     sources pointing at it."""
