@@ -196,11 +196,14 @@ def run_once() -> dict:
             **qproto,
         },
     }
-    try:
-        (Path(__file__).parent / "BENCH_RAW.json").write_text(
-            json.dumps(raw, indent=1))
-    except OSError:
-        pass
+    # KG-only legs (the --scaling subprocesses) must not clobber the full
+    # suite trace: the committed BENCH_RAW.json is the round's artifact
+    if not KG_ONLY:
+        try:
+            (Path(__file__).parent / "BENCH_RAW.json").write_text(
+                json.dumps(raw, indent=1))
+        except OSError:
+            pass
     ray.shutdown()
     return result
 
